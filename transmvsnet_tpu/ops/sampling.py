@@ -1,0 +1,169 @@
+"""Differentiable image sampling primitives (channel-last, TPU-friendly).
+
+Semantics match the reference implementation's PyTorch ops exactly so that
+converted weights reproduce reference numerics:
+
+- ``bilinear_sample`` / ``grid_sample``: ``F.grid_sample(mode='bilinear',
+  padding_mode='zeros', align_corners=True)`` (reference models/module.py:318-319)
+  expressed directly in *pixel* coordinates. Out-of-bounds taps contribute zero.
+- ``resize_bilinear``: ``F.interpolate(mode='bilinear', align_corners=False)``
+  (reference models/TransMVSNet.py:176-178, models/FMT.py:209) — half-pixel
+  centers, no antialiasing, border clamping.
+- ``upsample_nearest_2x``: ``F.interpolate(scale_factor=2, mode='nearest')``
+  (reference models/module.py:414,418; models/TransMVSNet.py:194).
+
+All functions take/return channel-last arrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinearly sample ``img`` at pixel coordinates ``(x, y)``.
+
+    Args:
+      img: [B, H, W, C] source image/feature map.
+      x, y: [B, ...] sample locations in pixel coordinates (0 .. W-1 / H-1).
+        Out-of-range taps contribute zero ("zeros" padding).
+
+    Returns:
+      [B, ..., C] sampled values. Gradients flow to ``img`` and to ``x``/``y``.
+    """
+    B, H, W, C = img.shape
+    out_shape = x.shape[1:]
+
+    x = x.reshape(B, -1)
+    y = y.reshape(B, -1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    def in_range(xi, yi):
+        return ((xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)).astype(
+            img.dtype
+        )
+
+    v00 = in_range(x0i, y0i)
+    v01 = in_range(x1i, y0i)
+    v10 = in_range(x0i, y1i)
+    v11 = in_range(x1i, y1i)
+
+    x0c = jnp.clip(x0i, 0, W - 1)
+    x1c = jnp.clip(x1i, 0, W - 1)
+    y0c = jnp.clip(y0i, 0, H - 1)
+    y1c = jnp.clip(y1i, 0, H - 1)
+
+    flat = img.reshape(B, H * W, C)
+
+    def take(yi, xi):
+        idx = yi * W + xi  # [B, N]
+        return jnp.take_along_axis(flat, idx[:, :, None], axis=1)  # [B, N, C]
+
+    wx = wx[..., None].astype(img.dtype)
+    wy = wy[..., None].astype(img.dtype)
+    one = jnp.ones((), img.dtype)
+
+    out = (
+        take(y0c, x0c) * ((one - wx) * (one - wy) * v00[..., None])
+        + take(y0c, x1c) * (wx * (one - wy) * v01[..., None])
+        + take(y1c, x0c) * ((one - wx) * wy * v10[..., None])
+        + take(y1c, x1c) * (wx * wy * v11[..., None])
+    )
+    return out.reshape(B, *out_shape, C)
+
+
+def grid_sample(
+    img: jax.Array, grid: jax.Array, align_corners: bool = True
+) -> jax.Array:
+    """``F.grid_sample`` with normalized [-1, 1] coordinates, zeros padding.
+
+    Args:
+      img: [B, H, W, C].
+      grid: [B, ..., 2] with (x, y) in [-1, 1].
+    """
+    B, H, W, C = img.shape
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    if align_corners:
+        x = (gx + 1.0) * 0.5 * (W - 1)
+        y = (gy + 1.0) * 0.5 * (H - 1)
+    else:
+        x = ((gx + 1.0) * W - 1.0) * 0.5
+        y = ((gy + 1.0) * H - 1.0) * 0.5
+    return bilinear_sample(img, x, y)
+
+
+def _source_coords_half_pixel(out_size: int, in_size: int, dtype) -> jax.Array:
+    """Half-pixel-center source coords, clamped at 0 like torch interpolate."""
+    scale = in_size / out_size
+    dst = jnp.arange(out_size, dtype=dtype)
+    src = (dst + 0.5) * scale - 0.5
+    return jnp.maximum(src, 0.0)
+
+
+def _linear_weights(src: jax.Array, in_size: int):
+    i0 = jnp.floor(src).astype(jnp.int32)
+    w1 = src - i0.astype(src.dtype)
+    i0 = jnp.clip(i0, 0, in_size - 1)
+    i1 = jnp.clip(i0 + 1, 0, in_size - 1)
+    return i0, i1, w1
+
+
+def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize, align_corners=False semantics, no antialias.
+
+    Args:
+      x: [B, H, W, C].
+      out_hw: (H_out, W_out).
+    """
+    B, H, W, C = x.shape
+    Ho, Wo = out_hw
+    if (Ho, Wo) == (H, W):
+        return x
+    dtype = x.dtype
+    sy = _source_coords_half_pixel(Ho, H, jnp.float32)
+    sx = _source_coords_half_pixel(Wo, W, jnp.float32)
+    y0, y1, wy = _linear_weights(sy, H)
+    x0, x1, wx = _linear_weights(sx, W)
+    wy = wy.astype(dtype)
+    wx = wx.astype(dtype)
+    # Interpolate rows then columns (separable).
+    top = jnp.take(x, y0, axis=1)
+    bot = jnp.take(x, y1, axis=1)
+    v = top * (1.0 - wy)[None, :, None, None] + bot * wy[None, :, None, None]
+    left = jnp.take(v, x0, axis=2)
+    right = jnp.take(v, x1, axis=2)
+    return left * (1.0 - wx)[None, None, :, None] + right * wx[None, None, :, None]
+
+
+def resize_nearest(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Nearest resize with torch's ``mode='nearest'`` index rule.
+
+    src = floor(dst * in/out). Args: x [B, H, W, C].
+    """
+    B, H, W, C = x.shape
+    Ho, Wo = out_hw
+    if (Ho, Wo) == (H, W):
+        return x
+    iy = jnp.floor(jnp.arange(Ho, dtype=jnp.float32) * (H / Ho)).astype(jnp.int32)
+    ix = jnp.floor(jnp.arange(Wo, dtype=jnp.float32) * (W / Wo)).astype(jnp.int32)
+    iy = jnp.clip(iy, 0, H - 1)
+    ix = jnp.clip(ix, 0, W - 1)
+    return jnp.take(jnp.take(x, iy, axis=1), ix, axis=2)
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """2x nearest upsample: out[i, j] = in[i // 2, j // 2]. x: [B, H, W, C]."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, 2 * H, 2 * W, C)
