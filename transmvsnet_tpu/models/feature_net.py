@@ -59,10 +59,13 @@ class DCN(nn.Module):
             name="conv_offset_mask",
         )(x)
         o1, o2, m = jnp.split(off, 3, axis=-1)
-        interleaved = jnp.stack([o1, o2], axis=-1).reshape(*o1.shape[:-1], 2 * K)
-        # interleaved[..., 2k] = Δy_k, interleaved[..., 2k+1] = Δx_k
-        dy = interleaved[..., 0::2]
-        dx = interleaved[..., 1::2]
+        # The reference concatenates the two offset halves and torchvision
+        # reads interleaved (Δy_k, Δx_k) = (offset[2k], offset[2k+1])
+        # (reference models/dcn.py:67-70) — so Δy/Δx channels straddle the
+        # o1/o2 boundary; replicate that exact channel mapping.
+        cat = jnp.concatenate([o1, o2], axis=-1)  # [.., 2K]
+        dy = cat[..., 0::2]
+        dx = cat[..., 1::2]
         mask = jax.nn.sigmoid(m)
 
         weight = self.param(

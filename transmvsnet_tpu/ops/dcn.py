@@ -50,21 +50,24 @@ def deform_conv2d(
     gy = jnp.broadcast_to(ys[:, None], (Ho, Wo))
     gx = jnp.broadcast_to(xs[None, :], (Ho, Wo))
 
-    ki = jnp.arange(K) // kw
-    kj = jnp.arange(K) % kw
-    # Sample positions per tap: [B, Ho, Wo, K]
-    py = gy[None, :, :, None] + (ki * dilation).astype(jnp.float32) + offset_y
-    px = gx[None, :, :, None] + (kj * dilation).astype(jnp.float32) + offset_x
-
-    sampled = bilinear_sample(x, px, py)  # [B, Ho, Wo, K, C]
-    sampled = sampled * mask[..., None]
-
-    out = jnp.einsum(
-        "bhwkc,kco->bhwo",
-        sampled,
-        weight.astype(sampled.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    # Loop over taps, accumulating output: avoids materializing the
+    # [B, Ho, Wo, K, C] deformable-im2col tensor, whose K=9 dimension picks
+    # up a ~7x TPU tile-padding blowup. Each tap is a gather + one
+    # [BHW, C_in] x [C_in, C_out] MXU matmul.
+    out = jnp.zeros((B, Ho, Wo, weight.shape[-1]), jnp.float32)
+    for k in range(K):
+        i, j = k // kw, k % kw
+        py = gy[None] + i * dilation + offset_y[..., k]
+        px = gx[None] + j * dilation + offset_x[..., k]
+        sampled = bilinear_sample(x, px, py)  # [B, Ho, Wo, C]
+        sampled = sampled * mask[..., k : k + 1]
+        out = out + jnp.einsum(
+            "bhwc,co->bhwo",
+            sampled,
+            weight[k].astype(sampled.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    out = out.astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
