@@ -22,7 +22,15 @@ BASELINE_DEPTH_MAPS_PER_S = 1.1
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: first-compile of the full-res graph over
+    # the remote TPU tunnel is slow; cache it across bench runs.
+    os.makedirs(".jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     from transmvsnet_tpu.config import ModelConfig
     from transmvsnet_tpu.models.transmvsnet import TransMVSNet

@@ -31,9 +31,13 @@ class TestMesh:
         mesh = make_mesh(MeshConfig(data=2, view=2, depth=2))
         assert dict(mesh.shape) == {"data": 2, "view": 2, "depth": 2}
 
-    def test_bad_factorization_raises(self):
+    def test_too_many_devices_raises(self):
         with pytest.raises(ValueError):
-            make_mesh(MeshConfig(data=3, view=1, depth=1))
+            make_mesh(MeshConfig(data=16, view=1, depth=1))
+
+    def test_subset_mesh(self):
+        mesh = make_mesh(MeshConfig(data=2, view=1, depth=1))
+        assert mesh.shape["data"] == 2
 
 
 class TestConstrain:

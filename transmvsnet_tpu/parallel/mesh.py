@@ -34,10 +34,10 @@ def make_mesh(
         shape = (n, 1, 1)
     else:
         shape = (config.data, config.view, config.depth)
-        if int(np.prod(shape)) != n:
-            raise ValueError(
-                f"mesh {shape} needs {int(np.prod(shape))} devices, have {n}"
-            )
+        needed = int(np.prod(shape))
+        if needed > n:
+            raise ValueError(f"mesh {shape} needs {needed} devices, have {n}")
+        devices = devices[:needed]
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, AXES)
 

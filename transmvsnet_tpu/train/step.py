@@ -44,10 +44,26 @@ def _select(pred, new, old):
     )
 
 
+def _bld_metrics(outputs, batch) -> dict:
+    """EPE / <1px / <3px finetune metrics (reference models/module.py:584-590)."""
+    from transmvsnet_tpu.models.losses import _masked_mean
+
+    gt = batch["depth"]["stage3"]
+    mask = batch["mask"]["stage3"] > 0.5
+    scale = (batch["depth_interval"] * (192.0 / 128.0)).reshape(-1, 1, 1)
+    err = jnp.abs(gt - outputs["stage3"]["depth"]) / scale
+    return {
+        "epe": _masked_mean(err, mask),
+        "less1": _masked_mean((err < 1.0).astype(jnp.float32), mask),
+        "less3": _masked_mean((err < 3.0).astype(jnp.float32), mask),
+    }
+
+
 def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
     dlossw: Sequence[float] = (1.0, 1.0, 1.0),
+    bld_metrics: bool = False,
 ) -> Callable[[TrainState, Mapping[str, Any]], tuple[TrainState, dict]]:
     def train_step(state: TrainState, batch: Mapping[str, Any]):
         def loss_fn(params):
@@ -62,9 +78,10 @@ def make_train_step(
             loss, depth_loss, total_entropy, wta = cascade_loss(
                 outputs, batch["depth"], batch["mask"], dlossw
             )
-            return loss, (updates["batch_stats"], depth_loss, total_entropy, wta)
+            extra = _bld_metrics(outputs, batch) if bld_metrics else {}
+            return loss, (updates["batch_stats"], depth_loss, total_entropy, wta, extra)
 
-        (loss, (new_bs, depth_loss, total_entropy, wta)), grads = (
+        (loss, (new_bs, depth_loss, total_entropy, wta, extra)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         )
 
@@ -91,6 +108,7 @@ def make_train_step(
             "entropy_loss": total_entropy,
             "skipped_nan": (~finite).astype(jnp.float32),
             **standard_eval_metrics(wta, batch["depth"]["stage3"], mask3),
+            **extra,
         }
         return new_state, scalars
 
@@ -98,7 +116,9 @@ def make_train_step(
 
 
 def make_eval_step(
-    model, dlossw: Sequence[float] = (1.0, 1.0, 1.0)
+    model,
+    dlossw: Sequence[float] = (1.0, 1.0, 1.0),
+    bld_metrics: bool = False,
 ) -> Callable[[TrainState, Mapping[str, Any]], dict]:
     def eval_step(state: TrainState, batch: Mapping[str, Any]):
         outputs = model.apply(
@@ -112,6 +132,7 @@ def make_eval_step(
             outputs, batch["depth"], batch["mask"], dlossw
         )
         mask3 = batch["mask"]["stage3"] > 0.5
+        extra = _bld_metrics(outputs, batch) if bld_metrics else {}
         return {
             "loss": loss,
             "depth_loss": depth_loss,
@@ -119,6 +140,7 @@ def make_eval_step(
             **standard_eval_metrics(
                 outputs["stage3"]["depth"], batch["depth"]["stage3"], mask3
             ),
+            **extra,
         }
 
     return eval_step
