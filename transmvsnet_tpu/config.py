@@ -32,6 +32,9 @@ class ModelConfig:
     # Name of the mesh axis to sync batch-norm statistics over (the
     # SyncBatchNorm analog); None disables cross-replica sync.
     bn_axis_name: str | None = None
+    # Activation compute dtype: "float32" (reference numerics) or
+    # "bfloat16" (TPU-native speed; geometry/softmax/losses stay f32).
+    compute_dtype: str = "float32"
 
     @property
     def num_stages(self) -> int:

@@ -67,6 +67,7 @@ class TransMVSNet(nn.Module):
 
     def extract_features(self, imgs: jax.Array, train: bool) -> dict[str, jax.Array]:
         """imgs [B, V, H, W, 3] -> per-stage features [B, V, h, w, C]."""
+        imgs = imgs.astype(jnp.dtype(self.cfg.compute_dtype))
         B, V = imgs.shape[:2]
         if self.cfg.batch_views_jointly:
             feats = self.feature(imgs.reshape(B * V, *imgs.shape[2:]), train)
@@ -135,7 +136,7 @@ class TransMVSNet(nn.Module):
         similarity = constrain(similarity, "data", "depth", None, None)
 
         cost = cost_reg(similarity[..., None], train)[..., 0]  # [B, D, h, w]
-        prob_volume = jax.nn.softmax(cost, axis=1)
+        prob_volume = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
         depth = depth_wta(prob_volume, depth_values)
         photo_confidence = jax.lax.stop_gradient(jnp.max(prob_volume, axis=1))
         outputs = {

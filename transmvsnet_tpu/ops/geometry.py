@@ -39,9 +39,38 @@ def fuse_projection(proj: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def invert_fused_projection(proj: jax.Array) -> jax.Array:
+    """Closed-form inverse of a fused projection [[M, p], [0, 1]].
+
+    M = K·R is invertible 3x3; the block inverse [[M⁻¹, -M⁻¹p], [0, 1]]
+    via the adjugate avoids an LU decomposition inside the hot path.
+    """
+    M = proj[..., :3, :3]
+    p = proj[..., :3, 3:4]
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    Minv = adj * inv_det[..., None, None]
+    top = jnp.concatenate([Minv, -(Minv @ p)], axis=-1)  # [..., 3, 4]
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], proj.dtype), (*proj.shape[:-2], 1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def relative_projection(src_proj: jax.Array, ref_proj: jax.Array) -> jax.Array:
     """P_src @ P_ref^-1 for fused 4x4 projections. [..., 4, 4]."""
-    return src_proj @ jnp.linalg.inv(ref_proj)
+    return src_proj @ invert_fused_projection(ref_proj)
 
 
 def warp_coords(

@@ -58,4 +58,6 @@ def warp_correlate(
     Returns: [B, D, H, W] similarity = mean over C of (warped_src * ref).
     """
     warped = homo_warp(src_fea, src_proj, ref_proj, depth_values)
-    return jnp.mean(warped * ref_fea[:, None, :, :, :], axis=-1)
+    prod = warped * ref_fea[:, None, :, :, :]
+    # Accumulate the channel mean in f32 (matters under bf16 compute).
+    return jnp.mean(prod, axis=-1, dtype=jnp.float32).astype(src_fea.dtype)
