@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from transmvsnet_tpu.ops.sampling import bilinear_sample
+from transmvsnet_tpu.ops.sampling import bilinear_gather_cf, bilinear_sample
 
 
 def deform_conv2d(
@@ -52,22 +52,25 @@ def deform_conv2d(
 
     # Loop over taps, accumulating output: avoids materializing the
     # [B, Ho, Wo, K, C] deformable-im2col tensor, whose K=9 dimension picks
-    # up a ~7x TPU tile-padding blowup. Each tap is a gather + one
-    # [BHW, C_in] x [C_in, C_out] MXU matmul.
-    out = jnp.zeros((B, Ho, Wo, weight.shape[-1]), jnp.float32)
+    # up a ~7x TPU tile-padding blowup. Gathers run channels-first
+    # ([B, C, N]: no 128-lane padding of small C); each tap is one
+    # [B, N, C_in] x [C_in, C_out] MXU contraction.
+    x_cf = x.transpose(0, 3, 1, 2).reshape(B, C, H * W)
+    M = Ho * Wo
+    out = jnp.zeros((B, M, weight.shape[-1]), jnp.float32)
     for k in range(K):
         i, j = k // kw, k % kw
-        py = gy[None] + i * dilation + offset_y[..., k]
-        px = gx[None] + j * dilation + offset_x[..., k]
-        sampled = bilinear_sample(x, px, py)  # [B, Ho, Wo, C]
-        sampled = sampled * mask[..., k : k + 1]
+        py = (gy[None] + i * dilation + offset_y[..., k]).reshape(B, M)
+        px = (gx[None] + j * dilation + offset_x[..., k]).reshape(B, M)
+        sampled = bilinear_gather_cf(x_cf, (H, W), px, py)  # [B, C, M]
+        sampled = sampled * mask[..., k].reshape(B, 1, M)
         out = out + jnp.einsum(
-            "bhwc,co->bhwo",
+            "bcm,co->bmo",
             sampled,
             weight[k].astype(sampled.dtype),
             preferred_element_type=jnp.float32,
         )
-    out = out.astype(x.dtype)
+    out = out.reshape(B, Ho, Wo, weight.shape[-1]).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

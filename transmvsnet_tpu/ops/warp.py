@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from transmvsnet_tpu.ops.sampling import bilinear_sample
+from transmvsnet_tpu.ops.sampling import bilinear_gather_cf, bilinear_sample
 from transmvsnet_tpu.ops.geometry import warp_coords
 
 
@@ -48,7 +48,13 @@ def warp_correlate(
     ref_proj: jax.Array,
     depth_values: jax.Array,
 ) -> jax.Array:
-    """Warped-source × reference correlation volume.
+    """Warped-source × reference correlation volume, fused channels-first.
+
+    The warped [B, D, H, W, C] volume is never materialized channel-last:
+    gathers run in a [B, C, N] layout (no 128-lane padding of small C —
+    the difference between fitting in HBM and a 4-16x blowup at DTU
+    resolution) and each bilinear tap is immediately contracted against the
+    reference features.
 
     Args:
       src_fea, ref_fea: [B, H, W, C].
@@ -57,7 +63,18 @@ def warp_correlate(
 
     Returns: [B, D, H, W] similarity = mean over C of (warped_src * ref).
     """
-    warped = homo_warp(src_fea, src_proj, ref_proj, depth_values)
-    prod = warped * ref_fea[:, None, :, :, :]
-    # Accumulate the channel mean in f32 (matters under bf16 compute).
-    return jnp.mean(prod, axis=-1, dtype=jnp.float32).astype(src_fea.dtype)
+    B, H, W, C = src_fea.shape
+    D = depth_values.shape[1]
+    x, y = warp_coords(src_proj, ref_proj, depth_values)
+    x = jax.lax.stop_gradient(x).reshape(B, D * H * W)
+    y = jax.lax.stop_gradient(y).reshape(B, D * H * W)
+
+    src_cf = src_fea.transpose(0, 3, 1, 2).reshape(B, C, H * W)
+    ref_cf = ref_fea.transpose(0, 3, 1, 2).reshape(B, C, H * W)
+
+    warped = bilinear_gather_cf(src_cf, (H, W), x, y)  # [B, C, D*H*W]
+    warped = warped.reshape(B, C, D, H * W)
+    sim = jnp.mean(
+        warped * ref_cf[:, :, None, :], axis=1, dtype=jnp.float32
+    ).astype(src_fea.dtype)
+    return sim.reshape(B, D, H, W)
