@@ -45,23 +45,19 @@ def main():
         jax.random.PRNGKey(0), imgs, projs, dv, train=False
     )
 
-    @jax.jit
     def forward(variables, imgs, projs, dv):
         out = model.apply(variables, imgs, projs, dv, train=False)
         return out["depth"], out["photo_confidence"]
 
-    # Warmup (compile) + timed runs.
-    depth, conf = forward(variables, imgs, projs, dv)
-    jax.block_until_ready(depth)
+    # Dependency-chained in-graph repetition with a forced D2H fetch: plain
+    # dispatch timing under-reports on remote-execution backends.
+    from transmvsnet_tpu.utils_bench import timed_ms
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        depth, conf = forward(variables, imgs, projs, dv)
-    jax.block_until_ready(depth)
-    dt = time.perf_counter() - t0
-
-    maps_per_s = B * iters / dt
+    run_ms, _ = timed_ms(
+        lambda i, p, d: forward(variables, i, p, d), imgs, projs, dv, iters=8,
+        warmup=2,
+    )
+    maps_per_s = B * 1e3 / run_ms
     print(
         json.dumps(
             {

@@ -19,17 +19,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 
 
-def timeit(name, fn, *args, iters=20):
-    t0 = time.time()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    run_ms = (time.time() - t0) / iters * 1e3
-    print(f"{name:<44} compile {compile_s:7.1f}s   run {run_ms:9.3f} ms")
+def timeit(name, fn, *args, iters=10):
+    from transmvsnet_tpu.utils_bench import timed_ms
+
+    run_ms, compile_s = timed_ms(fn, *args, iters=iters, warmup=2)
+    print(f"{name:<44} compile {compile_s:7.1f}s   run {run_ms:9.3f} ms", flush=True)
     return run_ms
 
 
@@ -116,5 +110,20 @@ def main():
     timeit("linear attention L62k H8 D4 (x5)", jax.jit(linear_attention), q, q, q)
 
 
+def timer_sanity():
+    """Known-FLOPs matmul to validate the timing methodology."""
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(4096, 4096).astype(np.float32))
+    b = jnp.asarray(rng.rand(4096, 4096).astype(np.float32))
+    f = jax.jit(lambda a, b: a @ b)
+    ms = timeit("matmul 4096^3 f32 (137 GFLOP)", f, a, b)
+    print(f"  -> implies {2*4096**3/ (ms/1e3) / 1e12:.1f} TFLOP/s f32")
+    a16 = a.astype(jnp.bfloat16); b16 = b.astype(jnp.bfloat16)
+    f16 = jax.jit(lambda a, b: (a @ b))
+    ms = timeit("matmul 4096^3 bf16", f16, a16, b16)
+    print(f"  -> implies {2*4096**3/ (ms/1e3) / 1e12:.1f} TFLOP/s bf16")
+
+
 if __name__ == "__main__":
+    timer_sanity()
     main()

@@ -57,20 +57,41 @@ def deform_conv2d(
     # [B, N, C_in] x [C_in, C_out] MXU contraction.
     x_cf = x.transpose(0, 3, 1, 2).reshape(B, C, H * W)
     M = Ho * Wo
-    out = jnp.zeros((B, M, weight.shape[-1]), jnp.float32)
-    for k in range(K):
-        i, j = k // kw, k % kw
-        py = (gy[None] + i * dilation + offset_y[..., k]).reshape(B, M)
-        px = (gx[None] + j * dilation + offset_x[..., k]).reshape(B, M)
-        sampled = bilinear_gather_cf(x_cf, (H, W), px, py)  # [B, C, M]
-        sampled = sampled * mask[..., k].reshape(B, 1, M)
-        out = out + jnp.einsum(
+    O = weight.shape[-1]
+
+    def tap_contribution(k, px, py, m, xs_cf):
+        """One tap for one batch slice: gather + MXU contraction.
+        px/py/m: [b, M]; xs_cf: [b, C, H*W]. Returns [b, M, O] f32."""
+        sampled = bilinear_gather_cf(xs_cf, (H, W), px, py)
+        sampled = sampled * m[:, None, :]
+        return jnp.einsum(
             "bcm,co->bmo",
             sampled,
             weight[k].astype(sampled.dtype),
             preferred_element_type=jnp.float32,
         )
-    out = out.reshape(B, Ho, Wo, weight.shape[-1]).astype(x.dtype)
+
+    # XLA pads the gathered row to 128 lanes; bound the per-tap transient by
+    # mapping over batch when the padded size would be large (> ~512 MB).
+    chunk_batch = B * M * 128 * 4 > 512 * 1024 * 1024 and B > 1
+
+    out = jnp.zeros((B, M, O), jnp.float32)
+    for k in range(K):
+        i, j = k // kw, k % kw
+        py = (gy[None] + i * dilation + offset_y[..., k]).reshape(B, M)
+        px = (gx[None] + j * dilation + offset_x[..., k]).reshape(B, M)
+        m = mask[..., k].reshape(B, M)
+        if chunk_batch:
+            contrib = jax.lax.map(
+                lambda args, kk=k: tap_contribution(
+                    kk, args[0][None], args[1][None], args[2][None], args[3][None]
+                )[0],
+                (px, py, m, x_cf),
+            )
+        else:
+            contrib = tap_contribution(k, px, py, m, x_cf)
+        out = out + contrib
+    out = out.reshape(B, Ho, Wo, O).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

@@ -66,15 +66,23 @@ def warp_correlate(
     B, H, W, C = src_fea.shape
     D = depth_values.shape[1]
     x, y = warp_coords(src_proj, ref_proj, depth_values)
-    x = jax.lax.stop_gradient(x).reshape(B, D * H * W)
-    y = jax.lax.stop_gradient(y).reshape(B, D * H * W)
+    x = jax.lax.stop_gradient(x)  # [B, D, H, W]
+    y = jax.lax.stop_gradient(y)
 
     src_cf = src_fea.transpose(0, 3, 1, 2).reshape(B, C, H * W)
     ref_cf = ref_fea.transpose(0, 3, 1, 2).reshape(B, C, H * W)
 
-    warped = bilinear_gather_cf(src_cf, (H, W), x, y)  # [B, C, D*H*W]
-    warped = warped.reshape(B, C, D, H * W)
-    sim = jnp.mean(
-        warped * ref_cf[:, :, None, :], axis=1, dtype=jnp.float32
-    ).astype(src_fea.dtype)
-    return sim.reshape(B, D, H, W)
+    # XLA's TPU gather pads the gathered C-row to the 128-lane tile, so the
+    # transient for a whole [D, H, W] sweep would be D·H·W·128 floats
+    # regardless of C. Chunk over depth planes: peak transient is one
+    # plane's worth and the per-plane gathers stay large enough to saturate.
+    def one_plane(coords):
+        px, py = coords  # [B, H, W]
+        g = bilinear_gather_cf(
+            src_cf, (H, W), px.reshape(B, H * W), py.reshape(B, H * W)
+        )  # [B, C, H*W]
+        sim = jnp.mean(g * ref_cf, axis=1, dtype=jnp.float32)
+        return sim.astype(src_fea.dtype).reshape(B, H, W)
+
+    sim = jax.lax.map(one_plane, (x.transpose(1, 0, 2, 3), y.transpose(1, 0, 2, 3)))
+    return sim.transpose(1, 0, 2, 3)  # [B, D, H, W]
