@@ -35,6 +35,9 @@ class ModelConfig:
     # Activation compute dtype: "float32" (reference numerics) or
     # "bfloat16" (TPU-native speed; geometry/softmax/losses stay f32).
     compute_dtype: str = "float32"
+    # Use the Pallas TPU kernels for the warp/correlation hot path.
+    # Inference-only until custom VJPs land; ignored off-TPU.
+    use_pallas: bool = False
 
     @property
     def num_stages(self) -> int:

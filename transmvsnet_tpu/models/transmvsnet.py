@@ -110,8 +110,14 @@ class TransMVSNet(nn.Module):
 
         # All source views at once: [B, S, D, h, w]. The accumulation over S
         # below is associative — under a view-sharded mesh it lowers to a psum.
+        if self.cfg.use_pallas and jax.default_backend() == "tpu":
+            from transmvsnet_tpu.ops.pallas.warp_kernel import warp_correlate_pallas
+
+            wc = warp_correlate_pallas
+        else:
+            wc = warp_correlate
         sim = jax.vmap(
-            lambda fea, p: warp_correlate(fea, ref_fea, p, ref_proj, depth_values),
+            lambda fea, p: wc(fea, ref_fea, p, ref_proj, depth_values),
             in_axes=(1, 1),
             out_axes=1,
         )(src_feas, src_projs)
