@@ -42,6 +42,7 @@ class DCN(nn.Module):
     stride: int = 1
     padding: int = 1
     deformable_groups: int = 1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -74,6 +75,13 @@ class DCN(nn.Module):
         bias = self.param(
             "bias", torch_bias_init(in_ch * K), (self.features,)
         )
+        if self.use_pallas and jax.default_backend() == "tpu":
+            from transmvsnet_tpu.ops.pallas.dcn_kernel import deform_conv2d_pallas
+
+            return deform_conv2d_pallas(
+                x, dy, dx, mask, weight, bias,
+                stride=self.stride, padding=self.padding,
+            )
         return deform_conv2d(
             x,
             dy,
@@ -93,6 +101,7 @@ class ARFHead(nn.Module):
     out_features: int
     lead_kernel: int = 3  # 1 for the stage-1 head (reference module.py:363)
     axis_name: str | None = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -104,22 +113,23 @@ class ARFHead(nn.Module):
             axis_name=self.axis_name,
             name="lead",
         )(x, train)
-        x = DCN(self.mid_features, name="dcn0")(x)
+        x = DCN(self.mid_features, use_pallas=self.use_pallas, name="dcn0")(x)
         x = BatchNorm(self.mid_features, axis_name=self.axis_name, name="bn0")(
             x, train
         )
         x = nn.relu(x)
-        x = DCN(self.mid_features, name="dcn1")(x)
+        x = DCN(self.mid_features, use_pallas=self.use_pallas, name="dcn1")(x)
         x = BatchNorm(self.mid_features, axis_name=self.axis_name, name="bn1")(
             x, train
         )
         x = nn.relu(x)
-        return DCN(self.out_features, name="dcn2")(x)
+        return DCN(self.out_features, use_pallas=self.use_pallas, name="dcn2")(x)
 
 
 class FeatureNet(nn.Module):
     base_channels: int = 8
     axis_name: str | None = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> dict[str, jax.Array]:
@@ -149,20 +159,21 @@ class FeatureNet(nn.Module):
         out = {}
         intra = conv2
         out["stage1"] = ARFHead(
-            bc * 4, bc * 4, lead_kernel=1, axis_name=an, name="out1"
+            bc * 4, bc * 4, lead_kernel=1, axis_name=an,
+            use_pallas=self.use_pallas, name="out1"
         )(intra, train)
 
         intra = upsample_nearest_2x(intra) + ConvND(
             bc * 4, 1, name="inner1"
         )(conv1)
-        out["stage2"] = ARFHead(bc * 4, bc * 2, axis_name=an, name="out2")(
-            intra, train
-        )
+        out["stage2"] = ARFHead(
+            bc * 4, bc * 2, axis_name=an, use_pallas=self.use_pallas, name="out2"
+        )(intra, train)
 
         intra = upsample_nearest_2x(intra) + ConvND(
             bc * 4, 1, name="inner2"
         )(conv0)
-        out["stage3"] = ARFHead(bc * 4, bc, axis_name=an, name="out3")(
-            intra, train
-        )
+        out["stage3"] = ARFHead(
+            bc * 4, bc, axis_name=an, use_pallas=self.use_pallas, name="out3"
+        )(intra, train)
         return out

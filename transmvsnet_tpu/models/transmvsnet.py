@@ -52,7 +52,11 @@ class TransMVSNet(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.feature = FeatureNet(cfg.base_channels, axis_name=cfg.bn_axis_name)
+        self.feature = FeatureNet(
+            cfg.base_channels,
+            axis_name=cfg.bn_axis_name,
+            use_pallas=cfg.use_pallas,
+        )
         self.fmt = FMTWithPathway(
             base_channels=cfg.base_channels,
             d_model=cfg.fmt_d_model,

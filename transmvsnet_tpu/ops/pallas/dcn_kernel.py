@@ -81,9 +81,20 @@ def _kernel(
     ky = (k_safe // kw - 1).astype(jnp.float32)
     kx = (k_safe % kw - 1).astype(jnp.float32)
 
-    dy = jnp.repeat(dy_ref[...].reshape(S, P), C, axis=1)
-    dx = jnp.repeat(dx_ref[...].reshape(S, P), C, axis=1)
-    m = jnp.repeat(mask_ref[...].reshape(S, P), C, axis=1)
+    # [S, P] -> [S, 128] lane replication via a 0/1 matmul (jnp.repeat's
+    # reshape is not lowerable by Mosaic).
+    r_p = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+    r_l = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
+    rep = (r_l // C == r_p).astype(jnp.float32)
+
+    def lane_rep(v):
+        return jnp.dot(
+            v.reshape(S, P), rep, preferred_element_type=jnp.float32
+        )
+
+    dy = lane_rep(dy_ref[...])
+    dx = lane_rep(dx_ref[...])
+    m = lane_rep(mask_ref[...])
 
     py = yo + ky + dy
     px = xo + kx + dx

@@ -117,8 +117,15 @@ def _kernel(
     xo = (lin % W).astype(jnp.float32)
     yo = (lin // W).astype(jnp.float32)
 
-    # depth per (d_local, t, p) -> [S, P] -> repeat channels -> [S, 128]
-    dep = jnp.repeat(depth_ref[...].reshape(S, P), C, axis=1)
+    # depth per (d_local, t, p) -> [S, P] -> [S, 128] with each pixel's
+    # depth replicated across its C lanes. jnp.repeat's reshape is not
+    # lowerable by Mosaic; use a [P, 128] 0/1 matmul instead.
+    r_p = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 0)
+    r_l = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
+    rep = (r_l // C == r_p).astype(jnp.float32)
+    dep = jnp.dot(
+        depth_ref[...].reshape(S, P), rep, preferred_element_type=jnp.float32
+    )
 
     r = rel_ref
     n0 = (r[0, 0] * xo + r[0, 1] * yo + r[0, 2]) * dep + r[0, 3]
