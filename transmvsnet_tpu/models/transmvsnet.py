@@ -115,9 +115,9 @@ class TransMVSNet(nn.Module):
         # All source views at once: [B, S, D, h, w]. The accumulation over S
         # below is associative — under a view-sharded mesh it lowers to a psum.
         if self.cfg.use_pallas and jax.default_backend() == "tpu":
-            from transmvsnet_tpu.ops.pallas.warp_kernel import warp_correlate_pallas
-
-            wc = warp_correlate_pallas
+            from transmvsnet_tpu.ops.pallas.warp_rowsweep import (
+                warp_correlate_rowsweep as wc,
+            )
         else:
             wc = warp_correlate
         sim = jax.vmap(

@@ -110,6 +110,7 @@ def _kernel(
             0,
             max(W - XW, 0),
         )
+        xmin = pl.multiple_of(xmin, 128)
 
         xcopy = pltpu.make_async_copy(
             bigwin.at[:, :, pl.ds(xmin, XW)], xwin, sem1
