@@ -76,7 +76,9 @@ class DCN(nn.Module):
             "bias", torch_bias_init(in_ch * K), (self.features,)
         )
         if self.use_pallas and jax.default_backend() == "tpu":
-            from transmvsnet_tpu.ops.pallas.dcn_kernel import deform_conv2d_pallas
+            from transmvsnet_tpu.ops.pallas.dcn_rowsweep import (
+                deform_conv2d_rowsweep as deform_conv2d_pallas,
+            )
 
             return deform_conv2d_pallas(
                 x, dy, dx, mask, weight, bias,
