@@ -115,16 +115,34 @@ class TransMVSNet(nn.Module):
         # All source views at once: [B, S, D, h, w]. The accumulation over S
         # below is associative — under a view-sharded mesh it lowers to a psum.
         if self.cfg.use_pallas and jax.default_backend() == "tpu":
+            # Flatten views into the kernel's native batch grid (vmap over
+            # a pallas_call with an ANY-space operand is unsupported).
             from transmvsnet_tpu.ops.pallas.warp_rowsweep import (
-                warp_correlate_rowsweep as wc,
+                warp_correlate_rowsweep,
             )
+
+            Cc = src_feas.shape[-1]
+            sim = warp_correlate_rowsweep(
+                src_feas.reshape(B * S, h, w, Cc),
+                jnp.broadcast_to(
+                    ref_fea[:, None], (B, S, h, w, Cc)
+                ).reshape(B * S, h, w, Cc),
+                src_projs.reshape(B * S, 4, 4),
+                jnp.broadcast_to(ref_proj[:, None], (B, S, 4, 4)).reshape(
+                    B * S, 4, 4
+                ),
+                jnp.broadcast_to(
+                    depth_values[:, None], (B, S, D, h, w)
+                ).reshape(B * S, D, h, w),
+            ).reshape(B, S, D, h, w)
         else:
-            wc = warp_correlate
-        sim = jax.vmap(
-            lambda fea, p: wc(fea, ref_fea, p, ref_proj, depth_values),
-            in_axes=(1, 1),
-            out_axes=1,
-        )(src_feas, src_projs)
+            sim = jax.vmap(
+                lambda fea, p: warp_correlate(
+                    fea, ref_fea, p, ref_proj, depth_values
+                ),
+                in_axes=(1, 1),
+                out_axes=1,
+            )(src_feas, src_projs)
         sim = constrain(sim, "data", "view", "depth", None, None)
 
         if view_weights is None:

@@ -31,12 +31,12 @@ K = 9
 
 
 def _kernel(
-    dy_ref,  # VMEM [K, ROWS, W]
-    dx_ref,  # VMEM [K, ROWS, W]
-    mask_ref,  # VMEM [K, ROWS, W]
+    dy_ref,  # VMEM [1, K, ROWS, W]
+    dx_ref,  # VMEM [1, K, ROWS, W]
+    mask_ref,  # VMEM [1, K, ROWS, W]
     w_ref,  # VMEM [C_out, K*C] weights (tap-major columns)
-    x_hbm,  # ANY [H, C, W]
-    out_ref,  # VMEM [ROWS, C_out, W]
+    x_hbm,  # ANY [B, H, C, W]
+    out_ref,  # VMEM [1, ROWS, C_out, W]
     bigwin,  # scratch [WIN, C, W]
     xwin,  # scratch [WIN, C, XW]
     sem0,
@@ -49,7 +49,8 @@ def _kernel(
     C_out: int,
     XW_: int,
 ):
-    strip = pl.program_id(0)
+    b_idx = pl.program_id(0)
+    strip = pl.program_id(1)
     n_chunks = W // 128
     n_halves = XW_ // 128
     kw = 3
@@ -60,8 +61,8 @@ def _kernel(
     x_base = col_i.astype(jnp.float32)
 
     # Tap sample positions (per tap k): [K][ROWS, W]
-    pys = [y_base + (k // kw - 1) + dy_ref[k] for k in range(K)]
-    pxs = [x_base + (k % kw - 1) + dx_ref[k] for k in range(K)]
+    pys = [y_base + (k // kw - 1) + dy_ref[0, k] for k in range(K)]
+    pxs = [x_base + (k % kw - 1) + dx_ref[0, k] for k in range(K)]
 
     y_min = jnp.full((ROWS, W), H - 1, jnp.int32)
     for k in range(K):
@@ -71,7 +72,7 @@ def _kernel(
     win_start = jnp.clip(jnp.min(y_min), 0, max(H - WIN, 0))
 
     copy = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(win_start, WIN), :, :], bigwin, sem0
+        x_hbm.at[b_idx, pl.ds(win_start, WIN), :, :], bigwin, sem0
     )
     copy.start()
     copy.wait()
@@ -95,11 +96,11 @@ def _kernel(
         xcopy.wait()
 
         for i in range(ROWS):
-            cols = jnp.zeros((K * C, 128), jnp.float32)
+            acc = jnp.zeros((C_out, 128), jnp.float32)
             for k in range(K):
                 py_i = pys[k][i : i + 1, sl]  # [1, 128]
                 px_i = pxs[k][i : i + 1, sl]
-                m_i = mask_ref[k, i : i + 1, sl]
+                m_i = mask_ref[0, k, i : i + 1, sl]
 
                 y0f = jnp.floor(py_i)
                 x0f = jnp.floor(px_i)
@@ -146,39 +147,40 @@ def _kernel(
                         samp = samp + g * jnp.broadcast_to(wgt, (C, 128))
 
                 samp = samp * jnp.broadcast_to(m_i, (C, 128))
-                cols = jax.lax.dynamic_update_slice(cols, samp, (k * C, 0))
+                acc = acc + jnp.dot(
+                    w_ref[:, k * C : (k + 1) * C],
+                    samp,
+                    preferred_element_type=jnp.float32,
+                )
 
-            acc = jnp.dot(
-                w_ref[...], cols, preferred_element_type=jnp.float32
-            )  # [C_out, 128]
-            out_ref[i, :, sl] = acc
+            out_ref[0, i, :, sl] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _dcn_rowsweep_single(
-    x: jax.Array,  # [H, W, C]
-    dy: jax.Array,  # [H, W, K]
+def _dcn_rowsweep_batched(
+    x: jax.Array,  # [B, H, W, C]
+    dy: jax.Array,  # [B, H, W, K]
     dx: jax.Array,
     mask: jax.Array,
     weight: jax.Array,  # [K, C, C_out]
     interpret: bool = False,
 ) -> jax.Array:
-    H, W_img, C = x.shape
+    B, H, W_img, C = x.shape
     C_out = weight.shape[-1]
     assert H % ROWS == 0 and H >= WIN, (H,)
     W = -(-W_img // 128) * 128
     XW_ = min(XW, W)
     if W != W_img:
-        x = jnp.pad(x, ((0, 0), (0, W - W_img), (0, 0)))
-        pad_off = ((0, 0), (0, W - W_img), (0, 0))
+        pad_off = ((0, 0), (0, 0), (0, W - W_img), (0, 0))
+        x = jnp.pad(x, pad_off)
         dy = jnp.pad(dy, pad_off)
         dx = jnp.pad(dx, pad_off)
         mask = jnp.pad(mask, pad_off)
 
-    x_t = x.transpose(0, 2, 1)  # [H, C, W]
-    dy_t = dy.transpose(2, 0, 1)  # [K, H, W]
-    dx_t = dx.transpose(2, 0, 1)
-    m_t = mask.transpose(2, 0, 1)
+    x_t = x.transpose(0, 1, 3, 2)  # [B, H, C, W]
+    dy_t = dy.transpose(0, 3, 1, 2)  # [B, K, H, W]
+    dx_t = dx.transpose(0, 3, 1, 2)
+    m_t = mask.transpose(0, 3, 1, 2)
     # [C_out, K*C], tap-major columns to match the stacked im2col rows.
     w_flat = weight.transpose(2, 0, 1).reshape(C_out, K * C)
 
@@ -187,16 +189,16 @@ def _dcn_rowsweep_single(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(H // ROWS,),
+        grid=(B, H // ROWS),
         in_specs=[
-            pl.BlockSpec((K, ROWS, W), lambda s: (0, s, 0)),
-            pl.BlockSpec((K, ROWS, W), lambda s: (0, s, 0)),
-            pl.BlockSpec((K, ROWS, W), lambda s: (0, s, 0)),
-            pl.BlockSpec((C_out, K * C), lambda s: (0, 0)),
+            pl.BlockSpec((1, K, ROWS, W), lambda b, s: (b, 0, s, 0)),
+            pl.BlockSpec((1, K, ROWS, W), lambda b, s: (b, 0, s, 0)),
+            pl.BlockSpec((1, K, ROWS, W), lambda b, s: (b, 0, s, 0)),
+            pl.BlockSpec((C_out, K * C), lambda b, s: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((ROWS, C_out, W), lambda s: (s, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((H, C_out, W), jnp.float32),
+        out_specs=pl.BlockSpec((1, ROWS, C_out, W), lambda b, s: (b, s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, C_out, W), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((WIN, C, W), jnp.float32),
             pltpu.VMEM((WIN, C, XW_), jnp.float32),
@@ -205,7 +207,7 @@ def _dcn_rowsweep_single(
         ],
         interpret=interpret,
     )(dy_t, dx_t, m_t, w_flat.astype(jnp.float32), x_t)
-    return out.transpose(0, 2, 1)[:, :W_img, :]  # [H, W_img, C_out]
+    return out.transpose(0, 1, 3, 2)[:, :, :W_img, :]  # [B, H, W_img, C_out]
 
 
 def deform_conv2d_rowsweep(
@@ -222,13 +224,13 @@ def deform_conv2d_rowsweep(
 ) -> jax.Array:
     """Batched DCNv2, row-sweep kernel (inference path)."""
     assert stride == 1 and padding == 1 and dilation == 1
-    fn = functools.partial(_dcn_rowsweep_single, interpret=interpret)
-    out = jax.vmap(fn, in_axes=(0, 0, 0, 0, None))(
+    out = _dcn_rowsweep_batched(
         x.astype(jnp.float32),
         offset_y.astype(jnp.float32),
         offset_x.astype(jnp.float32),
         mask.astype(jnp.float32),
         weight.astype(jnp.float32),
+        interpret=interpret,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)

@@ -42,11 +42,11 @@ DR = 6  # candidate window rows per output row (y0 spread + y1 tap + margin)
 
 
 def _kernel(
-    rel_ref,  # SMEM [3, 4]
-    depth_ref,  # VMEM [1, ROWS, W]
-    ref_ref,  # VMEM [ROWS, C, W]  (strip's reference features, x in lanes)
-    src_hbm,  # ANY [H, C, W]
-    out_ref,  # VMEM [1, ROWS, W]
+    rel_ref,  # SMEM [1, 3, 4]
+    depth_ref,  # VMEM [1, 1, ROWS, W]
+    ref_ref,  # VMEM [1, ROWS, C, W]  (strip's reference features, x in lanes)
+    src_hbm,  # ANY [B, H, C, W]
+    out_ref,  # VMEM [1, 1, ROWS, W]
     bigwin,  # scratch VMEM [WIN, C, W]
     xwin,  # scratch VMEM [WIN, C, XW]
     sem0,
@@ -58,7 +58,8 @@ def _kernel(
     C: int,
     XW: int,  # x-window width (multiple of 128)
 ):
-    strip = pl.program_id(1)
+    b_idx = pl.program_id(0)
+    strip = pl.program_id(2)
     n_chunks = W // 128
     n_halves = XW // 128
 
@@ -66,9 +67,9 @@ def _kernel(
     col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 1)
     yo = (strip * ROWS + row_i).astype(jnp.float32)
     xo = col_i.astype(jnp.float32)
-    dep = depth_ref[0]
+    dep = depth_ref[0, 0]
 
-    r = rel_ref
+    r = rel_ref[0]
     n0 = (r[0, 0] * xo + r[0, 1] * yo + r[0, 2]) * dep + r[0, 3]
     n1 = (r[1, 0] * xo + r[1, 1] * yo + r[1, 2]) * dep + r[1, 3]
     n2 = (r[2, 0] * xo + r[2, 1] * yo + r[2, 2]) * dep + r[2, 3]
@@ -90,7 +91,7 @@ def _kernel(
     )
 
     copy = pltpu.make_async_copy(
-        src_hbm.at[pl.ds(win_start, WIN), :, :], bigwin, sem0
+        src_hbm.at[b_idx, pl.ds(win_start, WIN), :, :], bigwin, sem0
     )
     copy.start()
     copy.wait()
@@ -159,52 +160,54 @@ def _kernel(
                     wgt = w_y * w_x * (x_in & in_win).astype(jnp.float32)
                     samp = samp + g * jnp.broadcast_to(wgt, (C, 128))
 
-            ref_slab = ref_ref[i, :, sl]  # [C, 128]
+            ref_slab = ref_ref[0, i, :, sl]  # [C, 128]
             sim_row = jnp.sum(samp * ref_slab, axis=0, keepdims=True) * (
                 1.0 / C
             )
-            out_ref[0, i : i + 1, sl] = sim_row
+            out_ref[0, 0, i : i + 1, sl] = sim_row
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _warp_rowsweep_single(
-    src_fea: jax.Array,  # [H, W, C]
+def _warp_rowsweep_batched(
+    src_fea: jax.Array,  # [B, H, W, C]
     ref_fea: jax.Array,
-    rel: jax.Array,  # [3, 4]
-    depth_values: jax.Array,  # [D, H, W]
+    rel: jax.Array,  # [B, 3, 4]
+    depth_values: jax.Array,  # [B, D, H, W]
     interpret: bool = False,
 ) -> jax.Array:
-    H, W_img, C = src_fea.shape
-    D = depth_values.shape[0]
+    B, H, W_img, C = src_fea.shape
+    D = depth_values.shape[1]
     assert H % ROWS == 0, f"H={H} must be a multiple of {ROWS}"
     assert H >= WIN, f"H={H} must be >= {WIN}"
     W = -(-W_img // 128) * 128
     XW = min(384, W)
     if W != W_img:
-        padw = ((0, 0), (0, W - W_img), (0, 0))
+        padw = ((0, 0), (0, 0), (0, W - W_img), (0, 0))
         src_fea = jnp.pad(src_fea, padw)
         ref_fea = jnp.pad(ref_fea, padw)
         depth_values = jnp.pad(
-            depth_values, ((0, 0), (0, 0), (0, W - W_img)), mode="edge"
+            depth_values, ((0, 0), (0, 0), (0, 0), (0, W - W_img)), mode="edge"
         )
 
-    src_t = src_fea.transpose(0, 2, 1)  # [H, C, W]
-    ref_t = ref_fea.transpose(0, 2, 1)
+    src_t = src_fea.transpose(0, 1, 3, 2)  # [B, H, C, W]
+    ref_t = ref_fea.transpose(0, 1, 3, 2)
 
     kernel = functools.partial(
         _kernel, H=H, W=W, W_img=W_img, C=C, XW=XW
     )
     out = pl.pallas_call(
         kernel,
-        grid=(D, H // ROWS),
+        grid=(B, D, H // ROWS),
         in_specs=[
-            pl.BlockSpec((3, 4), lambda d, s: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ROWS, W), lambda d, s: (d, s, 0)),
-            pl.BlockSpec((ROWS, C, W), lambda d, s: (s, 0, 0)),
+            pl.BlockSpec(
+                (1, 3, 4), lambda b, d, s: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, 1, ROWS, W), lambda b, d, s: (b, d, s, 0)),
+            pl.BlockSpec((1, ROWS, C, W), lambda b, d, s: (b, s, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, ROWS, W), lambda d, s: (d, s, 0)),
-        out_shape=jax.ShapeDtypeStruct((D, H, W), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, ROWS, W), lambda b, d, s: (b, d, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, W), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((WIN, C, W), jnp.float32),
             pltpu.VMEM((WIN, C, XW), jnp.float32),
@@ -213,7 +216,7 @@ def _warp_rowsweep_single(
         ],
         interpret=interpret,
     )(rel.astype(jnp.float32), depth_values, ref_t, src_t)
-    return out[:, :, :W_img]
+    return out[:, :, :, :W_img]
 
 
 def warp_correlate_rowsweep(
@@ -228,10 +231,10 @@ def warp_correlate_rowsweep(
     from transmvsnet_tpu.ops.geometry import relative_projection
 
     rel = relative_projection(src_proj, ref_proj)[:, :3, :]
-    fn = functools.partial(_warp_rowsweep_single, interpret=interpret)
-    return jax.vmap(fn)(
+    return _warp_rowsweep_batched(
         src_fea.astype(jnp.float32),
         ref_fea.astype(jnp.float32),
         rel,
         depth_values.astype(jnp.float32),
+        interpret=interpret,
     )
