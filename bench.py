@@ -39,7 +39,7 @@ def main():
 
     H, W = 864, 1152
     B, V = 1, 5
-    model = TransMVSNet(ModelConfig())
+    model = TransMVSNet(ModelConfig(use_pallas=True))
     imgs, projs, dv = _example_inputs(B=B, V=V, H=H, W=W, num_hyp=192)
     variables = model.init(
         jax.random.PRNGKey(0), imgs, projs, dv, train=False
