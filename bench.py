@@ -41,8 +41,11 @@ def main():
     B, V = 1, 5
     model = TransMVSNet(ModelConfig(use_pallas=True))
     imgs, projs, dv = _example_inputs(B=B, V=V, H=H, W=W, num_hyp=192)
+    # Parameters are input-size independent; initialize on tiny inputs so
+    # the eager init doesn't crawl through full-res remote compiles.
+    t_imgs, t_projs, t_dv = _example_inputs(B=1, V=V, H=64, W=128, num_hyp=192)
     variables = model.init(
-        jax.random.PRNGKey(0), imgs, projs, dv, train=False
+        jax.random.PRNGKey(0), t_imgs, t_projs, t_dv, train=False
     )
 
     def forward(variables, imgs, projs, dv):

@@ -69,10 +69,12 @@ def _kernel(
     xo = col_i.astype(jnp.float32)
     dep = depth_ref[0, 0]
 
-    r = rel_ref[0]
-    n0 = (r[0, 0] * xo + r[0, 1] * yo + r[0, 2]) * dep + r[0, 3]
-    n1 = (r[1, 0] * xo + r[1, 1] * yo + r[1, 2]) * dep + r[1, 3]
-    n2 = (r[2, 0] * xo + r[2, 1] * yo + r[2, 2]) * dep + r[2, 3]
+    def r(i, j):  # SMEM supports scalar loads only
+        return rel_ref[0, i, j]
+
+    n0 = (r(0, 0) * xo + r(0, 1) * yo + r(0, 2)) * dep + r(0, 3)
+    n1 = (r(1, 0) * xo + r(1, 1) * yo + r(1, 2)) * dep + r(1, 3)
+    n2 = (r(2, 0) * xo + r(2, 1) * yo + r(2, 2)) * dep + r(2, 3)
     invalid = n2 < 1e-6
     safe_z = jnp.where(invalid, 1.0, n2)
     px = jnp.where(invalid, _INVALID, n0 / safe_z)

@@ -46,6 +46,11 @@ def parse_args(argv=None):
     p.add_argument("--max_w", type=int, default=1152)
     p.add_argument("--ndepths", default="48,32,8")
     p.add_argument("--depth_inter_r", default="4,1,0.5")
+    p.add_argument(
+        "--no_pallas",
+        action="store_true",
+        help="disable the Pallas TPU kernels (XLA fallback)",
+    )
     return p.parse_args(argv)
 
 
@@ -84,11 +89,19 @@ def main(argv=None):
 
     ndepths = tuple(int(x) for x in args.ndepths.split(","))
     ratios = tuple(float(x) for x in args.depth_inter_r.split(","))
-    model = TransMVSNet(ModelConfig(ndepths=ndepths, depth_interval_ratios=ratios))
+    model = TransMVSNet(
+        ModelConfig(
+            ndepths=ndepths,
+            depth_interval_ratios=ratios,
+            use_pallas=not args.no_pallas,
+        )
+    )
 
     sample = dataset[0]
+    # Parameters are input-size independent; initialize on a tiny crop so
+    # eager init stays fast.
     init_args = (
-        jnp.asarray(sample["imgs"][None]),
+        jnp.asarray(sample["imgs"][None, :, :64, :128]),
         {k: jnp.asarray(v[None]) for k, v in sample["proj_matrices"].items()},
         jnp.asarray(sample["depth_values"][None]),
     )
