@@ -39,7 +39,10 @@ def main():
 
     H, W = 864, 1152
     B, V = 1, 5
-    model = TransMVSNet(ModelConfig(use_pallas=True))
+    compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
+    model = TransMVSNet(
+        ModelConfig(use_pallas=True, compute_dtype=compute_dtype)
+    )
     imgs, projs, dv = _example_inputs(B=B, V=V, H=H, W=W, num_hyp=192)
     # Parameters are input-size independent; initialize on tiny inputs so
     # the eager init doesn't crawl through full-res remote compiles.
