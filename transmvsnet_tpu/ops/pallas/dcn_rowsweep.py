@@ -112,13 +112,12 @@ def _kernel(
                 y_loc = y0 - win_start
                 ok_i = (y0 >= -1) & (y0 <= H - 1)
                 r0 = jnp.clip(
-                    jnp.min(jnp.where(ok_i, y_loc, WIN - 1)), 0, WIN - 1
+                    jnp.min(jnp.where(ok_i, y_loc, WIN - 1)), 0, WIN - DR
                 )
-                r_hi = jnp.max(jnp.where(ok_i, y_loc, 0))
-                n_dr = jnp.clip(r_hi + 2 - r0, 1, WIN - r0)
 
-                def dr_body(dr, samp):
-                    wr_idx = jnp.minimum(r0 + dr, WIN - 1)
+                samp = jnp.zeros((C, 128), jnp.float32)
+                for dr in range(DR):
+                    wr_idx = r0 + dr
                     row_y = win_start + wr_idx
                     w_y = jnp.where(y0 == row_y, 1.0 - fy, 0.0) + jnp.where(
                         y0 + 1 == row_y, fy, 0.0
@@ -146,11 +145,6 @@ def _kernel(
                             )
                         wgt = w_y * w_x * (x_in & in_win).astype(jnp.float32)
                         samp = samp + g * jnp.broadcast_to(wgt, (C, 128))
-                    return samp
-
-                samp = jax.lax.fori_loop(
-                    0, n_dr, dr_body, jnp.zeros((C, 128), jnp.float32)
-                )
 
                 samp = samp * jnp.broadcast_to(m_i, (C, 128))
                 acc = acc + jnp.dot(

@@ -130,15 +130,12 @@ def _kernel(
             y_loc = y0_i - win_start
             ok_i = (y0_i >= -1) & (y0_i <= H - 1)
             r0 = jnp.clip(
-                jnp.min(jnp.where(ok_i, y_loc, WIN - 1)), 0, WIN - 1
+                jnp.min(jnp.where(ok_i, y_loc, WIN - 1)), 0, WIN - DR
             )
-            # Dynamic candidate count: exactly the row's [min, max+1] tap
-            # span (typically 2-3 of up to WIN rows).
-            r_hi = jnp.max(jnp.where(ok_i, y_loc, 0))
-            n_dr = jnp.clip(r_hi + 2 - r0, 1, WIN - r0)
 
-            def dr_body(dr, samp):
-                wr_idx = jnp.minimum(r0 + dr, WIN - 1)
+            samp = jnp.zeros((C, 128), jnp.float32)
+            for dr in range(DR):
+                wr_idx = r0 + dr
                 row_y = win_start + wr_idx
                 w_y = jnp.where(y0_i == row_y, 1.0 - fy_i, 0.0) + jnp.where(
                     y0_i + 1 == row_y, fy_i, 0.0
@@ -164,11 +161,6 @@ def _kernel(
                         g = jnp.where(jnp.broadcast_to(use_h, (C, 128)), gh, g)
                     wgt = w_y * w_x * (x_in & in_win).astype(jnp.float32)
                     samp = samp + g * jnp.broadcast_to(wgt, (C, 128))
-                return samp
-
-            samp = jax.lax.fori_loop(
-                0, n_dr, dr_body, jnp.zeros((C, 128), jnp.float32)
-            )
 
             ref_slab = ref_ref[0, i, :, sl]  # [C, 128]
             sim_row = jnp.sum(samp * ref_slab, axis=0, keepdims=True) * (
