@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 8
 WIN = 16
-DR = 6  # candidate rows per (output row, tap): offset spread + y1 tap
+DR = 4  # candidate rows per (output row, tap): offset spread <=2 + y1 tap
 XW = 256  # x-window (offsets are small; 2 aligned halves suffice)
 K = 9
 
