@@ -19,8 +19,8 @@ def smooth_offsets(B, H, W, K, amplitude=4.0, seed=0):
     xs = np.arange(W)[None, None, :, None]
     phase = rng.rand(1, 1, 1, K) * 6.28
     # lane-locally smooth: |d(offset)/dx| <= A*2*pi*f ~ 0.03/px
-    f1 = rng.uniform(0.0005, 0.001, (1, 1, 1, K))
-    f2 = rng.uniform(0.0005, 0.001, (1, 1, 1, K))
+    f1 = rng.uniform(0.0004, 0.0008, (1, 1, 1, K))
+    f2 = rng.uniform(0.0004, 0.0008, (1, 1, 1, K))
     field = amplitude * np.sin(2 * np.pi * (f1 * ys + f2 * xs) + phase)
     return jnp.asarray(np.broadcast_to(field, (B, H, W, K)).astype(np.float32))
 
@@ -31,8 +31,8 @@ class TestDCNRowSweep:
         x, dy, dx, mask, w, b = make_inputs(
             H=32, W=128, C=C, C_out=C_out, off_scale=0.0
         )
-        dy = smooth_offsets(x.shape[0], 32, 128, 9, amplitude=2.0, seed=1)
-        dx = smooth_offsets(x.shape[0], 32, 128, 9, amplitude=2.0, seed=2)
+        dy = smooth_offsets(x.shape[0], 32, 128, 9, amplitude=1.5, seed=1)
+        dx = smooth_offsets(x.shape[0], 32, 128, 9, amplitude=1.5, seed=2)
         expected = np.asarray(deform_conv2d(x, dy, dx, mask, w, b))
         got = np.asarray(
             deform_conv2d_rowsweep(x, dy, dx, mask, w, b, interpret=True)
@@ -43,8 +43,8 @@ class TestDCNRowSweep:
         x, dy, dx, mask, w, b = make_inputs(
             B=1, H=24, W=96, C=16, C_out=8, off_scale=0.0
         )
-        dy = smooth_offsets(1, 24, 96, 9, amplitude=2.0, seed=3)
-        dx = smooth_offsets(1, 24, 96, 9, amplitude=2.0, seed=4)
+        dy = smooth_offsets(1, 24, 96, 9, amplitude=1.5, seed=3)
+        dx = smooth_offsets(1, 24, 96, 9, amplitude=1.5, seed=4)
         expected = np.asarray(deform_conv2d(x, dy, dx, mask, w, b))
         got = np.asarray(
             deform_conv2d_rowsweep(x, dy, dx, mask, w, b, interpret=True)

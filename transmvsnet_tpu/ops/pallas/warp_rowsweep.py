@@ -115,11 +115,17 @@ def _kernel(
         )
         xmin = pl.multiple_of(xmin, 128)
 
-        xcopy = pltpu.make_async_copy(
-            bigwin.at[:, :, pl.ds(xmin, XW)], xwin, sem1
-        )
-        xcopy.start()
-        xcopy.wait()
+        if XW == W:
+            # window spans the whole (padded) width: xmin is always 0 and
+            # the VMEM->VMEM copy would duplicate bigwin — read it directly.
+            win_ref = bigwin
+        else:
+            xcopy = pltpu.make_async_copy(
+                bigwin.at[:, :, pl.ds(xmin, XW)], xwin, sem1
+            )
+            xcopy.start()
+            xcopy.wait()
+            win_ref = xwin
 
         for i in range(ROWS):
             y0_i = y0_c[i : i + 1]  # [1, 128]
@@ -143,7 +149,7 @@ def _kernel(
                 row_in = (row_y >= 0) & (row_y <= H - 1)
                 w_y = w_y * row_in.astype(jnp.float32)  # [1, 128]
 
-                slabs = xwin[pl.ds(wr_idx, 1), :, :][0]  # [C, XW]
+                slabs = win_ref[pl.ds(wr_idx, 1), :, :][0]  # [C, XW]
 
                 for xt, w_x in ((x0_i, 1.0 - fx_i), (x0_i + 1, fx_i)):
                     x_in = (xt >= 0) & (xt <= W_img - 1)
