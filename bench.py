@@ -39,7 +39,7 @@ def main():
 
     H, W = 864, 1152
     B, V = 1, 5
-    compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
+    compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     model = TransMVSNet(
         ModelConfig(use_pallas=True, compute_dtype=compute_dtype)
     )
