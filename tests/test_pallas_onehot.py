@@ -1,0 +1,82 @@
+"""One-hot MXU Pallas kernels vs the XLA implementations (interpret).
+
+The one-hot variants carry a bf16 feature/weight data path (the model's
+bf16 compute mode), so comparisons use bf16-scale tolerances.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from transmvsnet_tpu.ops.geometry import fuse_projection
+from transmvsnet_tpu.ops.warp import warp_correlate
+from transmvsnet_tpu.ops.pallas.warp_onehot import warp_correlate_onehot
+
+from test_geometry import make_cameras
+from test_pallas_rowsweep import scene
+
+
+from transmvsnet_tpu.ops.dcn import deform_conv2d
+from transmvsnet_tpu.ops.pallas.dcn_onehot import deform_conv2d_onehot
+
+from test_pallas_dcn import make_inputs
+from test_pallas_dcn_rowsweep import smooth_offsets
+
+
+class TestDCNOnehot:
+    @pytest.mark.parametrize("C,C_out", [(8, 8), (32, 32), (32, 16)])
+    def test_matches_xla(self, C, C_out):
+        x, dy, dx, mask, w, b = make_inputs(
+            H=32, W=128, C=C, C_out=C_out, off_scale=0.0
+        )
+        dy = smooth_offsets(x.shape[0], 32, 128, 9, amplitude=1.5, seed=1)
+        dx = smooth_offsets(x.shape[0], 32, 128, 9, amplitude=1.5, seed=2)
+        expected = np.asarray(deform_conv2d(x, dy, dx, mask, w, b))
+        got = np.asarray(
+            deform_conv2d_onehot(x, dy, dx, mask, w, b, interpret=True)
+        )
+        # bf16 feature/weight payload: scale tolerances to the output range.
+        scale = np.abs(expected).max()
+        np.testing.assert_allclose(
+            got / scale, expected / scale, rtol=0, atol=4e-2
+        )
+        assert np.median(np.abs(got - expected)) < 2e-2 * scale
+
+    def test_unpadded_width(self):
+        x, dy, dx, mask, w, b = make_inputs(
+            B=1, H=24, W=96, C=16, C_out=8, off_scale=0.0
+        )
+        dy = smooth_offsets(1, 24, 96, 9, amplitude=1.5, seed=3)
+        dx = smooth_offsets(1, 24, 96, 9, amplitude=1.5, seed=4)
+        expected = np.asarray(deform_conv2d(x, dy, dx, mask, w, b))
+        got = np.asarray(
+            deform_conv2d_onehot(x, dy, dx, mask, w, b, interpret=True)
+        )
+        scale = np.abs(expected).max()
+        np.testing.assert_allclose(
+            got / scale, expected / scale, rtol=0, atol=4e-2
+        )
+
+
+class TestWarpOnehot:
+    @pytest.mark.parametrize("C", [8, 16, 32])
+    def test_matches_xla(self, C):
+        src, ref, sp, rp, dv = scene(C=C)
+        expected = np.asarray(warp_correlate(src, ref, sp, rp, dv))
+        got = np.asarray(
+            warp_correlate_onehot(src, ref, sp, rp, dv, interpret=True)
+        )
+        # bf16 payload: |err| ~ 2^-8 relative to the C-mean of products of
+        # unit-normal features.
+        close = np.isclose(got, expected, rtol=3e-2, atol=3e-2)
+        assert close.mean() > 0.995, close.mean()
+        assert np.median(np.abs(got - expected)) < 5e-3
+
+    def test_wide_image(self):
+        src, ref, sp, rp, dv = scene(H=16, W=256, C=16, D=4)
+        expected = np.asarray(warp_correlate(src, ref, sp, rp, dv))
+        got = np.asarray(
+            warp_correlate_onehot(src, ref, sp, rp, dv, interpret=True)
+        )
+        close = np.isclose(got, expected, rtol=3e-2, atol=3e-2)
+        assert close.mean() > 0.995, close.mean()

@@ -76,9 +76,16 @@ class DCN(nn.Module):
             "bias", torch_bias_init(in_ch * K), (self.features,)
         )
         if self.use_pallas and jax.default_backend() == "tpu":
-            from transmvsnet_tpu.ops.pallas.dcn_rowsweep import (
-                deform_conv2d_rowsweep as deform_conv2d_pallas,
-            )
+            if x.dtype == jnp.bfloat16:
+                # bf16 activations: one-hot MXU kernel (bf16 data path,
+                # ~2x the gather kernel; see ops/pallas/dcn_onehot.py).
+                from transmvsnet_tpu.ops.pallas.dcn_onehot import (
+                    deform_conv2d_onehot as deform_conv2d_pallas,
+                )
+            else:
+                from transmvsnet_tpu.ops.pallas.dcn_rowsweep import (
+                    deform_conv2d_rowsweep as deform_conv2d_pallas,
+                )
 
             return deform_conv2d_pallas(
                 x, dy, dx, mask, weight, bias,

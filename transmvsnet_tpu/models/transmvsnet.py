@@ -117,9 +117,15 @@ class TransMVSNet(nn.Module):
         if self.cfg.use_pallas and jax.default_backend() == "tpu":
             # Flatten views into the kernel's native batch grid (vmap over
             # a pallas_call with an ANY-space operand is unsupported).
-            from transmvsnet_tpu.ops.pallas.warp_rowsweep import (
-                warp_correlate_rowsweep,
-            )
+            if src_feas.dtype == jnp.bfloat16:
+                # bf16 activations: one-hot MXU kernel (see warp_onehot.py).
+                from transmvsnet_tpu.ops.pallas.warp_onehot import (
+                    warp_correlate_onehot as warp_correlate_rowsweep,
+                )
+            else:
+                from transmvsnet_tpu.ops.pallas.warp_rowsweep import (
+                    warp_correlate_rowsweep,
+                )
 
             Cc = src_feas.shape[-1]
             sim = warp_correlate_rowsweep(

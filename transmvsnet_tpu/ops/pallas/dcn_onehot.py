@@ -1,0 +1,224 @@
+"""Pallas TPU kernel: modulated deformable conv (DCNv2), one-hot MXU variant.
+
+Same row-sweep structure as dcn_rowsweep.py, but each tap's bilinear sample
+is an MXU contraction against a "hat" weight matrix instead of lane-gathers
+(see warp_onehot.py for the derivation and probe numbers). The feature /
+weight data path is bf16 (the model's bf16 compute mode); dcn_rowsweep
+remains the exact-f32 path.
+
+Reference behavior spec: torchvision-style modulated deform_conv2d as used
+by the ARF heads (reference models/dcn.py:66-80; stride=dilation=1, pad=1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS = 8
+WIN = 16
+DR = 3  # candidate rows per (output row, tap)
+XW = 256
+K = 9
+
+
+def _kernel(
+    dy_ref,  # VMEM [1, K, ROWS, W] f32
+    dx_ref,  # VMEM [1, K, ROWS, W] f32
+    mask_ref,  # VMEM [1, K, ROWS, W] f32
+    w_ref,  # VMEM [C_out, K*C] bf16 (tap-major columns)
+    x_hbm,  # ANY [B, H, C, W] bf16
+    out_ref,  # VMEM [1, ROWS, C_out, W] f32
+    bigwin,  # scratch [WIN, C, W] bf16
+    xwin,  # scratch [WIN, C, XW] bf16
+    sem0,
+    sem1,
+    *,
+    H: int,
+    W: int,
+    W_img: int,
+    C: int,
+    C_out: int,
+    XW_: int,
+):
+    b_idx = pl.program_id(0)
+    strip = pl.program_id(1)
+    n_chunks = W // 128
+    kw = 3
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 1)
+    y_base = (strip * ROWS + row_i).astype(jnp.float32)
+    x_base = col_i.astype(jnp.float32)
+
+    # Tap sample positions (per tap k): [K][ROWS, W]
+    pys = [y_base + (k // kw - 1) + dy_ref[0, k] for k in range(K)]
+    pxs = [x_base + (k % kw - 1) + dx_ref[0, k] for k in range(K)]
+
+    y_min = jnp.full((ROWS, W), H - 1, jnp.int32)
+    for k in range(K):
+        y0k = jnp.floor(pys[k]).astype(jnp.int32)
+        ok = (y0k >= -1) & (y0k <= H - 1)
+        y_min = jnp.minimum(y_min, jnp.where(ok, y0k, H - 1))
+    win_start = jnp.clip(jnp.min(y_min), 0, max(H - WIN, 0))
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b_idx, pl.ds(win_start, WIN), :, :], bigwin, sem0
+    )
+    copy.start()
+    copy.wait()
+
+    j_iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (XW_, 128), 0).astype(jnp.float32)
+    )
+
+    for cx in range(n_chunks):
+        sl = slice(cx * 128, cx * 128 + 128)
+
+        xmin_v = jnp.full((ROWS, 128), W_img - 1, jnp.int32)
+        for k in range(K):
+            x0k = jnp.floor(pxs[k][:, sl]).astype(jnp.int32)
+            okx = (x0k >= -1) & (x0k <= W_img - 1)
+            xmin_v = jnp.minimum(xmin_v, jnp.where(okx, x0k, W_img - 1))
+        xmin = jnp.clip((jnp.min(xmin_v) // 128) * 128, 0, max(W - XW_, 0))
+        xmin = pl.multiple_of(xmin, 128)
+
+        if XW_ == W:
+            win_ref = bigwin
+        else:
+            xcopy = pltpu.make_async_copy(
+                bigwin.at[:, :, pl.ds(xmin, XW_)], xwin, sem1
+            )
+            xcopy.start()
+            xcopy.wait()
+            win_ref = xwin
+
+        xminf = xmin.astype(jnp.float32)
+        for i in range(ROWS):
+            acc = jnp.zeros((C_out, 128), jnp.float32)
+            for k in range(K):
+                py_i = pys[k][i : i + 1, sl]  # [1, 128]
+                pxw = pxs[k][i : i + 1, sl] - xminf
+                m_i = mask_ref[0, k, i : i + 1, sl]
+
+                ew = jnp.maximum(0.0, 1.0 - jnp.abs(j_iota - pxw)).astype(
+                    jnp.bfloat16
+                )  # [XW_, 128]
+
+                y0 = jnp.floor(py_i).astype(jnp.int32)
+                y_loc = y0 - win_start
+                ok_i = (y0 >= -1) & (y0 <= H - 1)
+                r0 = jnp.clip(
+                    jnp.min(jnp.where(ok_i, y_loc, WIN - 1)), 0, WIN - DR
+                )
+
+                samp = jnp.zeros((C, 128), jnp.float32)
+                for dr in range(DR):
+                    wr_idx = r0 + dr
+                    row_y = (win_start + wr_idx).astype(jnp.float32)
+                    w_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_i - row_y))
+                    row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
+                    w_y = w_y * row_in.astype(jnp.float32)
+
+                    slab = win_ref[pl.ds(wr_idx, 1), :, :][0]  # [C, XW_] bf16
+                    m = jnp.dot(slab, ew, preferred_element_type=jnp.float32)
+                    samp = samp + m * w_y
+
+                samp = (samp * m_i).astype(jnp.bfloat16)
+                acc = acc + jnp.dot(
+                    w_ref[:, k * C : (k + 1) * C],
+                    samp,
+                    preferred_element_type=jnp.float32,
+                )
+
+            out_ref[0, i, :, sl] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _dcn_onehot_batched(
+    x: jax.Array,  # [B, H, W, C] bf16
+    dy: jax.Array,  # [B, H, W, K] f32
+    dx: jax.Array,
+    mask: jax.Array,
+    weight: jax.Array,  # [K, C, C_out]
+    interpret: bool = False,
+) -> jax.Array:
+    B, H, W_img, C = x.shape
+    C_out = weight.shape[-1]
+    assert H % ROWS == 0 and H >= WIN, (H,)
+    W = -(-W_img // 128) * 128
+    XW_ = min(XW, W)
+    if W != W_img:
+        pad_off = ((0, 0), (0, 0), (0, W - W_img), (0, 0))
+        x = jnp.pad(x, pad_off)
+        dy = jnp.pad(dy, pad_off)
+        dx = jnp.pad(dx, pad_off)
+        mask = jnp.pad(mask, pad_off)
+
+    x_t = x.transpose(0, 1, 3, 2)  # [B, H, C, W]
+    dy_t = dy.transpose(0, 3, 1, 2)  # [B, K, H, W]
+    dx_t = dx.transpose(0, 3, 1, 2)
+    m_t = mask.transpose(0, 3, 1, 2)
+    w_flat = weight.transpose(2, 0, 1).reshape(C_out, K * C)
+
+    kernel = functools.partial(
+        _kernel, H=H, W=W, W_img=W_img, C=C, C_out=C_out, XW_=XW_
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // ROWS),
+        in_specs=[
+            pl.BlockSpec((1, K, ROWS, W), lambda b, s: (b, 0, s, 0)),
+            pl.BlockSpec((1, K, ROWS, W), lambda b, s: (b, 0, s, 0)),
+            pl.BlockSpec((1, K, ROWS, W), lambda b, s: (b, 0, s, 0)),
+            pl.BlockSpec((C_out, K * C), lambda b, s: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, ROWS, C_out, W), lambda b, s: (b, s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, C_out, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WIN, C, W), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, XW_), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        dy_t.astype(jnp.float32),
+        dx_t.astype(jnp.float32),
+        m_t.astype(jnp.float32),
+        w_flat.astype(jnp.bfloat16),
+        x_t,
+    )
+    return out.transpose(0, 1, 3, 2)[:, :, :W_img, :]  # [B, H, W_img, C_out]
+
+
+def deform_conv2d_onehot(
+    x: jax.Array,  # [B, H, W, C]
+    offset_y: jax.Array,  # [B, H, W, K]
+    offset_x: jax.Array,
+    mask: jax.Array,
+    weight: jax.Array,  # [K, C, C_out]
+    bias: jax.Array | None = None,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched DCNv2, one-hot MXU kernel (bf16 inference path)."""
+    assert stride == 1 and padding == 1 and dilation == 1
+    out = _dcn_onehot_batched(
+        x.astype(jnp.bfloat16),
+        offset_y.astype(jnp.float32),
+        offset_x.astype(jnp.float32),
+        mask.astype(jnp.float32),
+        weight,
+        interpret=interpret,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)

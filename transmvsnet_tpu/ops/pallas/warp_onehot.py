@@ -1,0 +1,226 @@
+"""Pallas TPU kernel v4: plane-sweep warp-correlation, one-hot MXU variant.
+
+Same row-sweep structure as warp_rowsweep.py (pre-transposed [H, C, W]
+layout, WIN-row window DMA, 128-aligned x-window), but the bilinear sample
+is computed on the MXU instead of lane-gathers: per output row a "hat"
+weight matrix Ew[j, l] = max(0, 1 - |j - (px(l) - xmin)|) realizes the
+x-direction bilinear interpolation (including zeros-padding semantics —
+out-of-window positions simply match no j), and each candidate window row
+contributes one [C, XW] @ [XW, 128] matmul scaled by the y-hat weight.
+
+Probed on this chip: the gather pattern costs ~520 ns per row-sample at
+DR=6 while this one-hot form costs ~275 ns (f32) — and the matmuls run at
+the MXU's native bf16, so the window/feature data path is bf16 end-to-end,
+halving VMEM traffic. Numerics: bilinear weights and features are rounded
+to bf16 (the model's bf16 compute mode); use warp_rowsweep for exact-f32.
+
+Reference behavior spec: homo_warping at reference models/module.py:284-322
+(grid_sample zeros padding, align_corners=True) fused with the pair-wise
+correlation mean over channels at reference models/TransMVSNet.py:79-80.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INVALID = -1.0e6
+
+ROWS = 8  # output rows per strip
+WIN = 16  # source window rows
+DR = 6  # candidate window rows per output row
+
+
+def _kernel(
+    rel_ref,  # SMEM [1, 3, 4]
+    depth_ref,  # VMEM [1, 1, ROWS, W]
+    ref_ref,  # VMEM [1, ROWS, C, W] bf16 (reference features, x in lanes)
+    src_hbm,  # ANY [B, H, C, W] bf16
+    out_ref,  # VMEM [1, 1, ROWS, W] f32
+    bigwin,  # scratch VMEM [WIN, C, W] bf16
+    xwin,  # scratch VMEM [WIN, C, XW] bf16
+    sem0,
+    sem1,
+    *,
+    H: int,
+    W: int,
+    W_img: int,
+    C: int,
+    XW: int,
+):
+    b_idx = pl.program_id(0)
+    strip = pl.program_id(1)
+    n_chunks = W // 128
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 1)
+    yo = (strip * ROWS + row_i).astype(jnp.float32)
+    xo = col_i.astype(jnp.float32)
+    dep = depth_ref[0, 0]
+
+    def r(i, j):  # SMEM supports scalar loads only
+        return rel_ref[0, i, j]
+
+    n0 = (r(0, 0) * xo + r(0, 1) * yo + r(0, 2)) * dep + r(0, 3)
+    n1 = (r(1, 0) * xo + r(1, 1) * yo + r(1, 2)) * dep + r(1, 3)
+    n2 = (r(2, 0) * xo + r(2, 1) * yo + r(2, 2)) * dep + r(2, 3)
+    invalid = n2 < 1e-6
+    safe_z = jnp.where(invalid, 1.0, n2)
+    px = jnp.where(invalid, _INVALID, n0 / safe_z)
+    py = jnp.where(invalid, _INVALID, n1 / safe_z)
+
+    y0 = jnp.floor(py).astype(jnp.int32)
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y_ok = (y0 >= -1) & (y0 <= H - 1)
+    win_start = jnp.clip(
+        jnp.min(jnp.where(y_ok, y0, H - 1)), 0, max(H - WIN, 0)
+    )
+
+    copy = pltpu.make_async_copy(
+        src_hbm.at[b_idx, pl.ds(win_start, WIN), :, :], bigwin, sem0
+    )
+    copy.start()
+    copy.wait()
+
+    j_iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (XW, 128), 0).astype(jnp.float32)
+    )
+
+    for cx in range(n_chunks):
+        sl = slice(cx * 128, cx * 128 + 128)
+        x0_c = x0[:, sl]
+        y0_c = y0[:, sl]
+        px_c = px[:, sl]
+        py_c = py[:, sl]
+
+        x_ok_c = (x0_c >= -1) & (x0_c <= W_img - 1)
+        xmin = jnp.clip(
+            (jnp.min(jnp.where(x_ok_c, x0_c, W_img - 1)) // 128) * 128,
+            0,
+            max(W - XW, 0),
+        )
+        xmin = pl.multiple_of(xmin, 128)
+
+        if XW == W:
+            win_ref = bigwin
+        else:
+            xcopy = pltpu.make_async_copy(
+                bigwin.at[:, :, pl.ds(xmin, XW)], xwin, sem1
+            )
+            xcopy.start()
+            xcopy.wait()
+            win_ref = xwin
+
+        xminf = xmin.astype(jnp.float32)
+        for i in range(ROWS):
+            pxw = px_c[i : i + 1] - xminf  # [1, 128] window-relative x
+            py_i = py_c[i : i + 1]
+
+            # x-bilinear as a hat one-hot; OOW/invalid lanes match no j.
+            ew = jnp.maximum(0.0, 1.0 - jnp.abs(j_iota - pxw)).astype(
+                jnp.bfloat16
+            )  # [XW, 128]
+
+            y_loc = y0_c[i : i + 1] - win_start
+            ok_i = (y0_c[i : i + 1] >= -1) & (y0_c[i : i + 1] <= H - 1)
+            r0 = jnp.clip(
+                jnp.min(jnp.where(ok_i, y_loc, WIN - 1)), 0, WIN - DR
+            )
+
+            samp = jnp.zeros((C, 128), jnp.float32)
+            for dr in range(DR):
+                wr_idx = r0 + dr
+                row_y = (win_start + wr_idx).astype(jnp.float32)
+                w_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_i - row_y))
+                row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
+                w_y = w_y * row_in.astype(jnp.float32)  # [1, 128]
+
+                slab = win_ref[pl.ds(wr_idx, 1), :, :][0]  # [C, XW] bf16
+                m = jnp.dot(slab, ew, preferred_element_type=jnp.float32)
+                samp = samp + m * w_y
+
+            ref_slab = ref_ref[0, i, :, sl].astype(jnp.float32)  # [C, 128]
+            sim_row = jnp.sum(samp * ref_slab, axis=0, keepdims=True) * (
+                1.0 / C
+            )
+            out_ref[0, 0, i : i + 1, sl] = sim_row
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _warp_onehot_batched(
+    src_fea: jax.Array,  # [B, H, W, C] bf16
+    ref_fea: jax.Array,
+    rel: jax.Array,  # [B, 3, 4] f32
+    depth_values: jax.Array,  # [B, D, H, W] f32
+    interpret: bool = False,
+) -> jax.Array:
+    B, H, W_img, C = src_fea.shape
+    D = depth_values.shape[1]
+    assert H % ROWS == 0, f"H={H} must be a multiple of {ROWS}"
+    assert H >= WIN, f"H={H} must be >= {WIN}"
+    W = -(-W_img // 128) * 128
+    XW = min(384, W)
+    if W != W_img:
+        padw = ((0, 0), (0, 0), (0, W - W_img), (0, 0))
+        src_fea = jnp.pad(src_fea, padw)
+        ref_fea = jnp.pad(ref_fea, padw)
+        depth_values = jnp.pad(
+            depth_values, ((0, 0), (0, 0), (0, 0), (0, W - W_img)), mode="edge"
+        )
+
+    src_t = src_fea.transpose(0, 1, 3, 2)  # [B, H, C, W]
+    ref_t = ref_fea.transpose(0, 1, 3, 2)
+
+    kernel = functools.partial(_kernel, H=H, W=W, W_img=W_img, C=C, XW=XW)
+    out = pl.pallas_call(
+        kernel,
+        # d innermost so the ref strip block is reused across depths.
+        grid=(B, H // ROWS, D),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, 4), lambda b, s, d: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, 1, ROWS, W), lambda b, s, d: (b, d, s, 0)),
+            pl.BlockSpec((1, ROWS, C, W), lambda b, s, d: (b, s, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ROWS, W), lambda b, s, d: (b, d, s, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WIN, C, W), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, XW), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(rel.astype(jnp.float32), depth_values.astype(jnp.float32), ref_t, src_t)
+    return out[:, :, :, :W_img]
+
+
+def warp_correlate_onehot(
+    src_fea: jax.Array,  # [B, H, W, C]
+    ref_fea: jax.Array,
+    src_proj: jax.Array,  # [B, 4, 4]
+    ref_proj: jax.Array,
+    depth_values: jax.Array,  # [B, D, H, W]
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched fused warp-correlation, one-hot MXU kernel (bf16 data path)."""
+    from transmvsnet_tpu.ops.geometry import relative_projection
+
+    rel = relative_projection(
+        src_proj.astype(jnp.float32), ref_proj.astype(jnp.float32)
+    )[:, :3, :]
+    return _warp_onehot_batched(
+        src_fea.astype(jnp.bfloat16),
+        ref_fea.astype(jnp.bfloat16),
+        rel,
+        depth_values,
+        interpret=interpret,
+    )
