@@ -38,6 +38,9 @@ class ModelConfig:
     # Use the Pallas TPU kernels for the warp/correlation hot path.
     # Inference-only until custom VJPs land; ignored off-TPU.
     use_pallas: bool = False
+    # Depth-as-channels CostRegNet (models/cost_reg.CostRegNetDense): the
+    # same math and parameter tree, expressed as MXU-shaped 2-D convs.
+    dense_cost_reg: bool = True
 
     @property
     def num_stages(self) -> int:

@@ -25,7 +25,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from transmvsnet_tpu.config import ModelConfig
-from transmvsnet_tpu.models.cost_reg import CostRegNet, PixelwiseNet
+from transmvsnet_tpu.models.cost_reg import (
+    CostRegNet,
+    CostRegNetDense,
+    PixelwiseNet,
+)
 from transmvsnet_tpu.models.feature_net import FeatureNet
 from transmvsnet_tpu.models.fmt import FMTWithPathway
 from transmvsnet_tpu.ops.geometry import (
@@ -41,10 +45,16 @@ from transmvsnet_tpu.parallel.sharding import constrain
 def depth_wta(prob_volume: jax.Array, depth_values: jax.Array) -> jax.Array:
     """Winner-take-all depth (reference models/module.py:474-482).
 
+    Expressed as a one-hot reduction over D (argmax + masked sum) instead of
+    ``take_along_axis`` — dynamic gathers are serial on TPU, while this is
+    a cheap VPU select-and-reduce. Exact: first-max tie-breaking matches.
+
     Args: prob_volume, depth_values: [B, D, H, W]. Returns [B, H, W].
     """
-    idx = jnp.argmax(prob_volume, axis=1, keepdims=True)
-    return jnp.take_along_axis(depth_values, idx, axis=1)[:, 0]
+    idx = jnp.argmax(prob_volume, axis=1, keepdims=True)  # [B, 1, H, W]
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, prob_volume.shape, 1)
+    onehot = d_iota == idx  # [B, D, H, W]
+    return jnp.sum(jnp.where(onehot, depth_values, 0), axis=1)
 
 
 class TransMVSNet(nn.Module):
@@ -63,8 +73,9 @@ class TransMVSNet(nn.Module):
             n_heads=cfg.fmt_nhead,
             layer_names=tuple(cfg.fmt_layers),
         )
+        cost_reg_cls = CostRegNetDense if cfg.dense_cost_reg else CostRegNet
         self.cost_regs = [
-            CostRegNet(c, axis_name=cfg.bn_axis_name)
+            cost_reg_cls(c, axis_name=cfg.bn_axis_name)
             for c in cfg.cr_base_channels
         ]
         self.pixel_wise_net = PixelwiseNet(axis_name=cfg.bn_axis_name)
@@ -180,6 +191,25 @@ class TransMVSNet(nn.Module):
             "depth_values": depth_values,
         }
         return outputs, view_weights
+
+    def run_stage(
+        self,
+        features: jax.Array,
+        proj: jax.Array,
+        depth_values: jax.Array,
+        stage_idx: int,
+        view_weights: jax.Array | None,
+        train: bool = False,
+    ) -> tuple[dict[str, jax.Array], jax.Array]:
+        """depth_stage with the per-stage CostRegNet resolved by index.
+
+        Exposed for stage-level profiling/driving via
+        ``model.apply(vars, ..., method=TransMVSNet.run_stage)``.
+        """
+        return self.depth_stage(
+            features, proj, depth_values, self.cost_regs[stage_idx],
+            view_weights, train,
+        )
 
     def __call__(
         self,

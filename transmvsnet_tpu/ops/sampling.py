@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def bilinear_gather_cf(
@@ -168,17 +169,61 @@ def _linear_weights(src: jax.Array, in_size: int):
     return i0, i1, w1
 
 
-def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+def _linear_resize_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """Dense [out, in] bilinear-interpolation matrix (≤2 nonzeros per row).
+
+    Gathers with static indices are hostile to the TPU (serial row gathers);
+    a resize expressed as a small matmul runs on the MXU instead. The
+    weights replicate torch interpolate's half-pixel, clamped-at-0,
+    align_corners=False rule exactly.
+    """
+    scale = in_size / out_size
+    src = np.maximum((np.arange(out_size) + 0.5) * scale - 0.5, 0.0)
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    i1 = np.clip(i0 + 1, 0, in_size - 1)
+    w1 = (src - i0).astype(np.float32)
+    R = np.zeros((out_size, in_size), np.float32)
+    np.add.at(R, (np.arange(out_size), i0), 1.0 - w1)
+    np.add.at(R, (np.arange(out_size), i1), w1)
+    return R
+
+
+def _apply_resize_matrices(
+    x: jax.Array, Ry: np.ndarray | None, Rx: np.ndarray | None
+) -> jax.Array:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if Ry is not None:
+        xf = jnp.einsum(
+            "oh,bhwc->bowc", jnp.asarray(Ry), xf,
+            preferred_element_type=jnp.float32,
+        )
+    if Rx is not None:
+        xf = jnp.einsum(
+            "ow,bhwc->bhoc", jnp.asarray(Rx), xf,
+            preferred_element_type=jnp.float32,
+        )
+    return xf.astype(dtype)
+
+
+def resize_bilinear(
+    x: jax.Array, out_hw: tuple[int, int], via: str = "auto"
+) -> jax.Array:
     """Bilinear resize, align_corners=False semantics, no antialias.
 
     Args:
       x: [B, H, W, C].
       out_hw: (H_out, W_out).
+      via: "auto" (matmul on TPU, gather elsewhere), "matmul", or "gather".
     """
     B, H, W, C = x.shape
     Ho, Wo = out_hw
     if (Ho, Wo) == (H, W):
         return x
+    if via == "matmul" or (via == "auto" and jax.default_backend() == "tpu"):
+        Ry = _linear_resize_matrix(Ho, H) if Ho != H else None
+        Rx = _linear_resize_matrix(Wo, W) if Wo != W else None
+        return _apply_resize_matrices(x, Ry, Rx)
     dtype = x.dtype
     sy = _source_coords_half_pixel(Ho, H, jnp.float32)
     sx = _source_coords_half_pixel(Wo, W, jnp.float32)
@@ -195,7 +240,21 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     return left * (1.0 - wx)[None, None, :, None] + right * wx[None, None, :, None]
 
 
-def resize_nearest(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+def _nearest_resize_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """Dense 0/1 [out, in] selection matrix for torch 'nearest' indexing."""
+    idx = np.clip(
+        np.floor(np.arange(out_size) * (in_size / out_size)).astype(np.int64),
+        0,
+        in_size - 1,
+    )
+    R = np.zeros((out_size, in_size), np.float32)
+    R[np.arange(out_size), idx] = 1.0
+    return R
+
+
+def resize_nearest(
+    x: jax.Array, out_hw: tuple[int, int], via: str = "auto"
+) -> jax.Array:
     """Nearest resize with torch's ``mode='nearest'`` index rule.
 
     src = floor(dst * in/out). Args: x [B, H, W, C].
@@ -204,6 +263,10 @@ def resize_nearest(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     Ho, Wo = out_hw
     if (Ho, Wo) == (H, W):
         return x
+    if via == "matmul" or (via == "auto" and jax.default_backend() == "tpu"):
+        Ry = _nearest_resize_matrix(Ho, H) if Ho != H else None
+        Rx = _nearest_resize_matrix(Wo, W) if Wo != W else None
+        return _apply_resize_matrices(x, Ry, Rx)
     iy = jnp.floor(jnp.arange(Ho, dtype=jnp.float32) * (H / Ho)).astype(jnp.int32)
     ix = jnp.floor(jnp.arange(Wo, dtype=jnp.float32) * (W / Wo)).astype(jnp.int32)
     iy = jnp.clip(iy, 0, H - 1)
