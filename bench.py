@@ -57,12 +57,12 @@ def main():
 
     # Dependency-chained in-graph repetition with a forced D2H fetch: plain
     # dispatch timing under-reports on remote-execution backends.
+    # `variables` MUST be an argument, not a closure capture: params baked
+    # in as compile-time constants make the executable ~2.4x slower on this
+    # chip (measured 791 ms vs 332 ms for the same forward).
     from transmvsnet_tpu.utils_bench import timed_ms
 
-    run_ms, _ = timed_ms(
-        lambda i, p, d: forward(variables, i, p, d), imgs, projs, dv, iters=8,
-        warmup=2,
-    )
+    run_ms, _ = timed_ms(forward, variables, imgs, projs, dv, iters=8, warmup=2)
     maps_per_s = B * 1e3 / run_ms
     print(
         json.dumps(

@@ -35,8 +35,10 @@ class ModelConfig:
     # Activation compute dtype: "float32" (reference numerics) or
     # "bfloat16" (TPU-native speed; geometry/softmax/losses stay f32).
     compute_dtype: str = "float32"
-    # Use the Pallas TPU kernels for the warp/correlation hot path.
-    # Inference-only until custom VJPs land; ignored off-TPU.
+    # Use the Pallas TPU kernels for the warp/correlation and DCN hot
+    # paths (ignored off-TPU). Differentiable: custom VJPs linearize the
+    # XLA reference path around the saved inputs (ops/pallas/vjp.py), so
+    # training may enable this too.
     use_pallas: bool = False
     # Depth-as-channels CostRegNet (models/cost_reg.CostRegNetDense): the
     # same math and parameter tree, expressed as MXU-shaped 2-D convs.

@@ -80,17 +80,26 @@ class DCN(nn.Module):
                 # bf16 activations: one-hot MXU kernel (bf16 data path,
                 # ~2x the gather kernel; see ops/pallas/dcn_onehot.py).
                 from transmvsnet_tpu.ops.pallas.dcn_onehot import (
-                    deform_conv2d_onehot as deform_conv2d_pallas,
+                    deform_conv2d_onehot as dcn_kernel,
                 )
             else:
                 from transmvsnet_tpu.ops.pallas.dcn_rowsweep import (
-                    deform_conv2d_rowsweep as deform_conv2d_pallas,
+                    deform_conv2d_rowsweep as dcn_kernel,
                 )
+            import functools
 
-            return deform_conv2d_pallas(
-                x, dy, dx, mask, weight, bias,
-                stride=self.stride, padding=self.padding,
+            from transmvsnet_tpu.ops.pallas.vjp import deform_conv2d_with_vjp
+
+            deform_conv2d_pallas = deform_conv2d_with_vjp(
+                functools.partial(
+                    lambda x_, dy_, dx_, m_, w_, b_, k: k(
+                        x_, dy_, dx_, m_, w_, b_,
+                        stride=self.stride, padding=self.padding,
+                    ),
+                    k=dcn_kernel,
+                )
             )
+            return deform_conv2d_pallas(x, dy, dx, mask, weight, bias)
         return deform_conv2d(
             x,
             dy,

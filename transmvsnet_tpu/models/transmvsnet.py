@@ -131,12 +131,15 @@ class TransMVSNet(nn.Module):
             if src_feas.dtype == jnp.bfloat16:
                 # bf16 activations: one-hot MXU kernel (see warp_onehot.py).
                 from transmvsnet_tpu.ops.pallas.warp_onehot import (
-                    warp_correlate_onehot as warp_correlate_rowsweep,
+                    warp_correlate_onehot as warp_kernel,
                 )
             else:
                 from transmvsnet_tpu.ops.pallas.warp_rowsweep import (
-                    warp_correlate_rowsweep,
+                    warp_correlate_rowsweep as warp_kernel,
                 )
+            from transmvsnet_tpu.ops.pallas.vjp import warp_correlate_with_vjp
+
+            warp_correlate_rowsweep = warp_correlate_with_vjp(warp_kernel)
 
             Cc = src_feas.shape[-1]
             sim = warp_correlate_rowsweep(

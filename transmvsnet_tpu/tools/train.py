@@ -69,6 +69,18 @@ def parse_args(argv=None):
     p.add_argument("--mesh_data", type=int, default=0, help="0 = all devices")
     p.add_argument("--mesh_view", type=int, default=1)
     p.add_argument("--mesh_depth", type=int, default=1)
+    p.add_argument(
+        "--no_pallas",
+        action="store_true",
+        help="disable the Pallas TPU kernels (they are differentiable via "
+        "ops/pallas/vjp.py and on by default on TPU)",
+    )
+    p.add_argument(
+        "--dtype",
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="activation compute dtype (geometry/losses stay f32)",
+    )
     return p.parse_args(argv)
 
 
@@ -94,7 +106,12 @@ def main(argv=None):
     ndepths = tuple(int(x) for x in args.ndepths.split(","))
     ratios = tuple(float(x) for x in args.depth_inter_r.split(","))
     dlossw = tuple(float(x) for x in args.dlossw.split(","))
-    model_cfg = ModelConfig(ndepths=ndepths, depth_interval_ratios=ratios)
+    model_cfg = ModelConfig(
+        ndepths=ndepths,
+        depth_interval_ratios=ratios,
+        use_pallas=not args.no_pallas,
+        compute_dtype=args.dtype,
+    )
     model = TransMVSNet(model_cfg)
 
     n_dev = len(jax.devices())
