@@ -56,10 +56,10 @@ def main():
         return out["depth"], out["photo_confidence"]
 
     # Dependency-chained in-graph repetition with a forced D2H fetch: plain
-    # dispatch timing under-reports on remote-execution backends.
-    # `variables` MUST be an argument, not a closure capture: params baked
-    # in as compile-time constants make the executable ~2.4x slower on this
-    # chip (measured 791 ms vs 332 ms for the same forward).
+    # dispatch timing under-reports on remote-execution backends. Variables
+    # are passed as arguments (not closure captures) so timed_ms can
+    # perturb every input leaf — otherwise XLA hoists parameter-independent
+    # subgraphs out of the timing loop.
     from transmvsnet_tpu.utils_bench import timed_ms
 
     run_ms, _ = timed_ms(forward, variables, imgs, projs, dv, iters=8, warmup=2)

@@ -95,13 +95,15 @@ def main():
     sim1 = jnp.asarray(rng.rand(4, 48, 216, 288, 1).astype(np.float32)).astype(DTYPE)
     total += t("PixelwiseNet stage1", jax.jit(lambda v, x: pw.apply(v, x, False)), vars_p, sim1)
 
-    # --- per-stage CostRegNet ---
-    cr = CostRegNet(8)
+    # --- per-stage CostRegNet (dense depth-as-channels path) ---
+    from transmvsnet_tpu.models.cost_reg import CostRegNetDense
+
+    cr = CostRegNetDense(8)
     vol_t = jnp.asarray(rng.rand(1, 8, 16, 32, 1).astype(np.float32)).astype(DTYPE)
     vars_c = cr.init(jax.random.PRNGKey(0), vol_t, False)
     for (s, h, w, C, D) in STAGES:
         vol = jnp.asarray(rng.rand(1, D, h, w, 1).astype(np.float32)).astype(DTYPE)
-        total += t(f"CostRegNet {s} D{D} {h}x{w}", jax.jit(lambda v, x: cr.apply(v, x, False)), vars_c, vol)
+        total += t(f"CostRegNetDense {s} D{D} {h}x{w}", jax.jit(lambda v, x: cr.apply(v, x, False)), vars_c, vol)
 
     # --- softmax + WTA per stage ---
     from transmvsnet_tpu.models.transmvsnet import depth_wta

@@ -25,23 +25,28 @@ def timed_ms(
 ) -> tuple[float, float]:
     """Returns (per-iteration milliseconds, compile seconds).
 
-    ``fn(*args)`` must return an array or pytree of arrays. The first array
-    leaf of ``args`` gets an iteration-dependent epsilon added so the loop
-    body cannot be hoisted or CSE'd.
+    ``fn(*args)`` must return an array or pytree of arrays. EVERY floating
+    array leaf of ``args`` gets an iteration-dependent epsilon added so no
+    part of the body can be hoisted out of the loop or CSE'd. (Perturbing
+    only one leaf is not enough: anything not data-dependent on that leaf —
+    e.g. the whole feature extractor when the leaf is a cost-reg BN stat —
+    gets hoisted and the measurement silently drops it.)
     """
     leaves, treedef = jax.tree_util.tree_flatten(args)
-    float_idx = next(
+    float_idxs = [
         i
         for i, leaf in enumerate(leaves)
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
-    )
+    ]
+    assert float_idxs, "timed_ms needs at least one floating input leaf"
 
     @jax.jit
     def repeated(leaves):
         def body(i, carry):
             eps = carry * 1e-30
             local = list(leaves)
-            local[float_idx] = local[float_idx] + eps.astype(local[float_idx].dtype)
+            for fi in float_idxs:
+                local[fi] = local[fi] + eps.astype(local[fi].dtype)
             out = fn(*jax.tree_util.tree_unflatten(treedef, local))
             out_leaves = jax.tree_util.tree_leaves(out)
             s = sum(
