@@ -136,7 +136,12 @@ class FMT(nn.Module):
         S = src_features.shape[1]
         assert C == self.d_model
 
-        pe = jnp.asarray(sine_position_encoding(H, W, C))[None]
+        # Cast the (f32 numpy) PE to the feature dtype: promoting features
+        # to f32 here would silently push every downstream stage — including
+        # the warp kernels' bf16 dispatch — onto the f32 path.
+        pe = jnp.asarray(sine_position_encoding(H, W, C))[None].astype(
+            ref_feature.dtype
+        )
         ref = (ref_feature + pe).reshape(B, H * W, C)
         src = (src_features + pe[:, None]).reshape(B * S, H * W, C)
 

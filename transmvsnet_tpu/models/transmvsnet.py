@@ -93,7 +93,11 @@ class TransMVSNet(nn.Module):
                 k: jnp.stack([f[k] for f in per_view], axis=1)
                 for k in per_view[0]
             }
-        return self.fmt(feats)
+        feats = self.fmt(feats)
+        # Defensive: the kernel dispatch keys on dtype, so a silent f32
+        # promotion anywhere above would push the warp onto the slow path.
+        dt = jnp.dtype(self.cfg.compute_dtype)
+        return {k: v.astype(dt) for k, v in feats.items()}
 
     def depth_stage(
         self,
