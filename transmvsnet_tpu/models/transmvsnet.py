@@ -127,6 +127,53 @@ class TransMVSNet(nn.Module):
         ref_proj, src_projs = fused[:, 0], fused[:, 1:]
         src_feas = constrain(features[:, 1:], "data", "view", None, None, None)
 
+        # Stages with precomputed view weights (2-3): fuse the weighted
+        # accumulation over source views INTO the warp kernel — the
+        # [B, S, D, h, w] per-view volume (127 MB f32 at stages 2-3) is
+        # never materialized and ref/depth blocks are read once per
+        # (strip, d) instead of per view.
+        if (
+            view_weights is not None
+            and self.cfg.fused_view_sum
+            and self.cfg.use_pallas
+            and jax.default_backend() == "tpu"
+            and src_feas.dtype == jnp.bfloat16
+        ):
+            from transmvsnet_tpu.ops.pallas.vjp import (
+                warp_correlate_wsum_with_vjp,
+            )
+            from transmvsnet_tpu.ops.pallas.warp_onehot import (
+                warp_correlate_wsum_onehot,
+            )
+
+            fused_warp = warp_correlate_wsum_with_vjp(
+                warp_correlate_wsum_onehot
+            )
+            vw_flat = view_weights[..., 0]  # [B, S, h, w]
+            weighted = fused_warp(
+                src_feas, ref_fea, src_projs, ref_proj, depth_values, vw_flat
+            )
+            similarity = weighted / (
+                1e-5 + jnp.sum(vw_flat, axis=1)[:, None]
+            )
+            similarity = constrain(similarity, "data", "depth", None, None)
+            cost = cost_reg(
+                similarity.astype(jnp.dtype(self.cfg.compute_dtype))[..., None],
+                train,
+            )[..., 0]
+            prob_volume = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
+            depth = depth_wta(prob_volume, depth_values)
+            photo_confidence = jax.lax.stop_gradient(
+                jnp.max(prob_volume, axis=1)
+            )
+            outputs = {
+                "depth": depth,
+                "photo_confidence": photo_confidence,
+                "prob_volume": prob_volume,
+                "depth_values": depth_values,
+            }
+            return outputs, view_weights
+
         # All source views at once: [B, S, D, h, w]. The accumulation over S
         # below is associative — under a view-sharded mesh it lowers to a psum.
         if self.cfg.use_pallas and jax.default_backend() == "tpu":
@@ -187,7 +234,10 @@ class TransMVSNet(nn.Module):
         )
         similarity = constrain(similarity, "data", "depth", None, None)
 
-        cost = cost_reg(similarity[..., None], train)[..., 0]  # [B, D, h, w]
+        cost = cost_reg(
+            similarity.astype(jnp.dtype(self.cfg.compute_dtype))[..., None],
+            train,
+        )[..., 0]  # [B, D, h, w]
         prob_volume = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
         depth = depth_wta(prob_volume, depth_values)
         photo_confidence = jax.lax.stop_gradient(jnp.max(prob_volume, axis=1))

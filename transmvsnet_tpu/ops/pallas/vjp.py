@@ -61,6 +61,54 @@ def warp_correlate_with_vjp(pallas_fwd: Callable) -> Callable:
     return f
 
 
+def warp_correlate_wsum_with_vjp(pallas_fwd: Callable) -> Callable:
+    """Differentiable wrapper for the view-accumulating warp kernel.
+
+    ``pallas_fwd(src_feas, ref, src_projs, ref_proj, depth_values,
+    view_weights) -> [B, D, H, W]`` (the Σ_s w_s·sim_s form).
+    """
+    from transmvsnet_tpu.ops.warp import warp_correlate as warp_xla
+
+    def xla_ref(src_feas, ref, src_projs, ref_proj, depth_values, vw):
+        sim = jax.vmap(
+            lambda s, p: warp_xla(s, ref, p, ref_proj, depth_values),
+            in_axes=(1, 1),
+            out_axes=1,
+        )(src_feas, src_projs)  # [B, S, D, H, W]
+        return jnp.sum(sim * vw[:, :, None], axis=1)
+
+    @jax.custom_vjp
+    def f(src_feas, ref, src_projs, ref_proj, depth_values, vw):
+        return pallas_fwd(src_feas, ref, src_projs, ref_proj, depth_values, vw)
+
+    def fwd(src_feas, ref, src_projs, ref_proj, depth_values, vw):
+        out = pallas_fwd(src_feas, ref, src_projs, ref_proj, depth_values, vw)
+        return out, (src_feas, ref, src_projs, ref_proj, depth_values, vw)
+
+    def bwd(res, g):
+        src_feas, ref, src_projs, ref_proj, depth_values, vw = res
+        _, vjp_fn = jax.vjp(
+            lambda s, r, w: xla_ref(
+                s, r, src_projs, ref_proj, depth_values, w
+            ),
+            src_feas,
+            ref,
+            vw,
+        )
+        dsrc, dref, dvw = vjp_fn(g.astype(src_feas.dtype))
+        return (
+            dsrc,
+            dref,
+            jnp.zeros_like(src_projs),
+            jnp.zeros_like(ref_proj),
+            jnp.zeros_like(depth_values),
+            dvw.astype(vw.dtype),
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def deform_conv2d_with_vjp(pallas_fwd: Callable) -> Callable:
     """Differentiable wrapper for a DCNv2 kernel.
 

@@ -246,3 +246,244 @@ def warp_correlate_onehot(
         depth_values,
         interpret=interpret,
     )
+
+
+def _wsum_kernel(
+    rel_ref,  # SMEM [1, 1, 3, 4]
+    depth_ref,  # VMEM [1, 1, ROWS, W]
+    ref_ref,  # VMEM [1, ROWS, C, W] bf16
+    vw_ref,  # VMEM [1, 1, ROWS, W] f32 per-view weight
+    src_hbm,  # ANY [B, S, H, C, W] bf16
+    out_ref,  # VMEM [1, 1, ROWS, W] f32, accumulated over s
+    bigwin,
+    xwin,
+    sem0,
+    sem1,
+    *,
+    H: int,
+    W: int,
+    W_img: int,
+    C: int,
+    XW: int,
+    S: int,
+):
+    b_idx = pl.program_id(0)
+    s_idx = pl.program_id(3)  # innermost: out block revisited across views
+
+    @pl.when(s_idx == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    n_chunks = W // 128
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 1)
+    strip = pl.program_id(1)
+    yo = (strip * ROWS + row_i).astype(jnp.float32)
+    xo = col_i.astype(jnp.float32)
+    dep = depth_ref[0, 0]
+
+    def r(i, j):
+        return rel_ref[0, 0, i, j]
+
+    n0 = (r(0, 0) * xo + r(0, 1) * yo + r(0, 2)) * dep + r(0, 3)
+    n1 = (r(1, 0) * xo + r(1, 1) * yo + r(1, 2)) * dep + r(1, 3)
+    n2 = (r(2, 0) * xo + r(2, 1) * yo + r(2, 2)) * dep + r(2, 3)
+    invalid = n2 < 1e-6
+    safe_z = jnp.where(invalid, 1.0, n2)
+    px = jnp.where(invalid, _INVALID, n0 / safe_z)
+    py = jnp.where(invalid, _INVALID, n1 / safe_z)
+
+    y0 = jnp.floor(py).astype(jnp.int32)
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y_ok = (y0 >= -1) & (y0 <= H - 1)
+    win_start = jnp.clip(
+        jnp.min(jnp.where(y_ok, y0, H - 1)), 0, max(H - WIN, 0)
+    )
+
+    copy = pltpu.make_async_copy(
+        src_hbm.at[b_idx, s_idx, pl.ds(win_start, WIN), :, :], bigwin, sem0
+    )
+    copy.start()
+    copy.wait()
+
+    j_iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (XW, 128), 0).astype(jnp.float32)
+    )
+
+    for cx in range(n_chunks):
+        sl = slice(cx * 128, cx * 128 + 128)
+        x0_c = x0[:, sl]
+        y0_c = y0[:, sl]
+        px_c = px[:, sl]
+        py_c = py[:, sl]
+
+        x_ok_c = (x0_c >= -1) & (x0_c <= W_img - 1)
+        xmin = jnp.clip(
+            (jnp.min(jnp.where(x_ok_c, x0_c, W_img - 1)) // 128) * 128,
+            0,
+            max(W - XW, 0),
+        )
+        xmin = pl.multiple_of(xmin, 128)
+
+        if XW == W:
+            win_ref = bigwin
+        else:
+            xcopy = pltpu.make_async_copy(
+                bigwin.at[:, :, pl.ds(xmin, XW)], xwin, sem1
+            )
+            xcopy.start()
+            xcopy.wait()
+            win_ref = xwin
+
+        xminf = xmin.astype(jnp.float32)
+        group = max(1, min(WIN, 128 // C))
+        stacked = group >= DR
+        cover = group if stacked else DR
+        for i in range(ROWS):
+            pxw = px_c[i : i + 1] - xminf
+            py_i = py_c[i : i + 1]
+            ew = jnp.maximum(0.0, 1.0 - jnp.abs(j_iota - pxw)).astype(
+                jnp.bfloat16
+            )
+
+            y_loc = y0_c[i : i + 1] - win_start
+            ok_i = (y0_c[i : i + 1] >= -1) & (y0_c[i : i + 1] <= H - 1)
+            r0 = jnp.clip(
+                jnp.min(jnp.where(ok_i, y_loc, WIN - 1)), 0, WIN - cover
+            )
+
+            samp = jnp.zeros((C, 128), jnp.float32)
+            if stacked:
+                stack = win_ref[pl.ds(r0, group), :, :].reshape(group * C, -1)
+                m = jnp.dot(stack, ew, preferred_element_type=jnp.float32)
+                for g in range(group):
+                    row_y = (win_start + r0 + g).astype(jnp.float32)
+                    w_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_i - row_y))
+                    row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
+                    samp = samp + m[g * C : (g + 1) * C] * (
+                        w_y * row_in.astype(jnp.float32)
+                    )
+            else:
+                for dr in range(DR):
+                    wr_idx = r0 + dr
+                    row_y = (win_start + wr_idx).astype(jnp.float32)
+                    w_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_i - row_y))
+                    row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
+                    slab = win_ref[pl.ds(wr_idx, 1), :, :][0]
+                    m = jnp.dot(slab, ew, preferred_element_type=jnp.float32)
+                    samp = samp + m * (w_y * row_in.astype(jnp.float32))
+
+            ref_slab = ref_ref[0, i, :, sl].astype(jnp.float32)
+            sim_row = jnp.sum(samp * ref_slab, axis=0, keepdims=True) * (
+                1.0 / C
+            )
+            vw_row = vw_ref[0, 0, i : i + 1, sl]
+            out_ref[0, 0, i : i + 1, sl] = (
+                out_ref[0, 0, i : i + 1, sl] + sim_row * vw_row
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _warp_onehot_wsum_batched(
+    src_feas: jax.Array,  # [B, S, H, W, C] bf16
+    ref_fea: jax.Array,  # [B, H, W, C] bf16
+    rel: jax.Array,  # [B, S, 3, 4] f32
+    depth_values: jax.Array,  # [B, D, H, W] f32
+    view_weights: jax.Array,  # [B, S, H, W] f32
+    interpret: bool = False,
+) -> jax.Array:
+    B, S, H, W_img, C = src_feas.shape
+    D = depth_values.shape[1]
+    assert H % ROWS == 0 and H >= WIN, (H,)
+    W = -(-W_img // 128) * 128
+    XW = min(384, W)
+    if W != W_img:
+        src_feas = jnp.pad(
+            src_feas, ((0, 0), (0, 0), (0, 0), (0, W - W_img), (0, 0))
+        )
+        ref_fea = jnp.pad(ref_fea, ((0, 0), (0, 0), (0, W - W_img), (0, 0)))
+        depth_values = jnp.pad(
+            depth_values, ((0, 0), (0, 0), (0, 0), (0, W - W_img)), mode="edge"
+        )
+        view_weights = jnp.pad(
+            view_weights, ((0, 0), (0, 0), (0, 0), (0, W - W_img))
+        )
+
+    src_t = src_feas.transpose(0, 1, 2, 4, 3)  # [B, S, H, C, W]
+    ref_t = ref_fea.transpose(0, 1, 3, 2)  # [B, H, C, W]
+
+    kernel = functools.partial(
+        _wsum_kernel, H=H, W=W, W_img=W_img, C=C, XW=XW, S=S
+    )
+    out = pl.pallas_call(
+        kernel,
+        # s innermost: the (b, strip, d) output block stays resident in
+        # VMEM while the S views accumulate into it — the [B, S, D, h, w]
+        # per-view similarity volume is never materialized.
+        grid=(B, H // ROWS, D, S),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 3, 4),
+                lambda b, st, d, s: (b, s, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, 1, ROWS, W), lambda b, st, d, s: (b, d, st, 0)),
+            pl.BlockSpec((1, ROWS, C, W), lambda b, st, d, s: (b, st, 0, 0)),
+            pl.BlockSpec((1, 1, ROWS, W), lambda b, st, d, s: (b, s, st, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, ROWS, W), lambda b, st, d, s: (b, d, st, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WIN, C, W), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, XW), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        rel.astype(jnp.float32),
+        depth_values.astype(jnp.float32),
+        ref_t,
+        view_weights.astype(jnp.float32),
+        src_t,
+    )
+    return out[:, :, :, :W_img]
+
+
+def warp_correlate_wsum_onehot(
+    src_feas: jax.Array,  # [B, S, H, W, C]
+    ref_fea: jax.Array,  # [B, H, W, C]
+    src_projs: jax.Array,  # [B, S, 4, 4]
+    ref_proj: jax.Array,  # [B, 4, 4]
+    depth_values: jax.Array,  # [B, D, H, W]
+    view_weights: jax.Array,  # [B, S, H, W]
+    interpret: bool = False,
+) -> jax.Array:
+    """Warp-correlation summed over source views with per-view weights.
+
+    Returns Σ_s w_s · sim_s as [B, D, H, W] (caller divides by Σ_s w_s).
+    Equals ``Σ_s view_weights[:, s, None] * warp_correlate(src_s, ...)``
+    but never materializes the [B, S, D, H, W] per-view volume and reads
+    the reference/depth blocks once per (strip, d) instead of per view.
+    """
+    from transmvsnet_tpu.ops.geometry import relative_projection
+
+    B, S = src_feas.shape[:2]
+    rel = jax.vmap(
+        lambda sp, rp: relative_projection(
+            sp.astype(jnp.float32), rp.astype(jnp.float32)
+        ),
+        in_axes=(1, None),
+        out_axes=1,
+    )(src_projs, ref_proj)[:, :, :3, :]
+    return _warp_onehot_wsum_batched(
+        src_feas.astype(jnp.bfloat16),
+        ref_fea.astype(jnp.bfloat16),
+        rel,
+        depth_values,
+        view_weights,
+        interpret=interpret,
+    )
