@@ -5,6 +5,15 @@ backends (dispatch returns before the work runs). ``timed_ms`` instead
 compiles a fori_loop that re-runs the op with a data dependency carried
 between iterations (so the compiler cannot hoist it) and forces a
 device-to-host fetch of a scalar reduction at the end.
+
+Two hard-won rules are baked in:
+- EVERY floating input leaf gets an iteration-dependent epsilon; with a
+  single perturbed leaf, XLA hoists anything not data-dependent on it out
+  of the loop (measured: a whole 344 ms feature extractor vanished).
+- Each fetch carries a fixed ~20-25 ms host/tunnel overhead, so the
+  per-iteration time is the SLOPE between an ``iters`` and a ``2*iters``
+  run (the loop bound is a traced argument — one compile serves both),
+  not total/iters.
 """
 
 from __future__ import annotations
@@ -25,12 +34,9 @@ def timed_ms(
 ) -> tuple[float, float]:
     """Returns (per-iteration milliseconds, compile seconds).
 
-    ``fn(*args)`` must return an array or pytree of arrays. EVERY floating
-    array leaf of ``args`` gets an iteration-dependent epsilon added so no
-    part of the body can be hoisted out of the loop or CSE'd. (Perturbing
-    only one leaf is not enough: anything not data-dependent on that leaf —
-    e.g. the whole feature extractor when the leaf is a cost-reg BN stat —
-    gets hoisted and the measurement silently drops it.)
+    ``fn(*args)`` must return an array or pytree of arrays. Per-iteration
+    cost is the slope between ``iters`` and ``2*iters`` in-graph runs,
+    which cancels the fixed dispatch/fetch overhead of each run.
     """
     leaves, treedef = jax.tree_util.tree_flatten(args)
     float_idxs = [
@@ -41,7 +47,7 @@ def timed_ms(
     assert float_idxs, "timed_ms needs at least one floating input leaf"
 
     @jax.jit
-    def repeated(leaves):
+    def repeated(n, leaves):
         def body(i, carry):
             eps = carry * 1e-30
             local = list(leaves)
@@ -56,17 +62,22 @@ def timed_ms(
             )
             return carry + s * 1e-10
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    n1 = jnp.int32(iters)
+    n2 = jnp.int32(2 * iters)
 
     t0 = time.time()
-    result = repeated(leaves)
-    np.asarray(result)  # forces full execution incl. remote completion
+    np.asarray(repeated(n1, leaves))  # forces full remote completion
     compile_s = time.time() - t0
 
-    times = []
-    for _ in range(max(warmup, 1)):
+    t_short, t_long = [], []
+    for _ in range(max(warmup, 2)):
         t0 = time.time()
-        np.asarray(repeated(leaves))
-        times.append(time.time() - t0)
-    best = min(times)
-    return best / iters * 1e3, compile_s
+        np.asarray(repeated(n1, leaves))
+        t_short.append(time.time() - t0)
+        t0 = time.time()
+        np.asarray(repeated(n2, leaves))
+        t_long.append(time.time() - t0)
+    slope = (min(t_long) - min(t_short)) / iters
+    return max(slope, 0.0) * 1e3, compile_s
