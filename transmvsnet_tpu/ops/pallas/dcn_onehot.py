@@ -22,7 +22,8 @@ from jax.experimental.pallas import tpu as pltpu
 ROWS = 8
 WIN = 16
 DR = 3  # candidate rows per (output row, tap)
-XW = 256
+import os as _os
+XW = int(_os.environ.get("DCN_ONEHOT_XW", "256"))
 K = 9
 
 
