@@ -72,6 +72,110 @@ class TestInferFusePipeline:
         assert os.path.exists(os.path.join(plydir, "synth0.ply"))
 
 
+class TestDTUFuseEvalChain:
+    """The DTU naming contract between the fuser and the evaluator.
+
+    Fuses a DTU-named synthetic scan via the CLI (--test_dataset dtu) and
+    then evaluates it with evaluate_dtu over synthetic DTU-layout ground
+    truth. Fails if the fuser's PLY naming and the evaluator's expected
+    naming (mvsnet%03d_l3.ply, BaseEvalMain_web.m:34) ever drift apart."""
+
+    def _materialize_gt_scan(self, root):
+        import cv2
+
+        from transmvsnet_tpu.data.cams import write_cam_file
+        from transmvsnet_tpu.data.pfm import save_pfm
+        from transmvsnet_tpu.data.synthetic import SyntheticScene
+
+        scene = SyntheticScene(num_views=4, height=64, width=96)
+        for sub in ("depth_est", "confidence", "cams", "images"):
+            os.makedirs(os.path.join(root, sub))
+        for v in range(scene.V):
+            img, depth = scene.render(v)
+            save_pfm(os.path.join(root, f"depth_est/{v:0>8}.pfm"), depth)
+            save_pfm(
+                os.path.join(root, f"confidence/{v:0>8}.pfm"), np.ones_like(depth)
+            )
+            pair = np.zeros((2, 4, 4), dtype=np.float32)
+            pair[0] = scene.extrinsics[v]
+            pair[1, :3, :3] = scene.K
+            write_cam_file(
+                os.path.join(root, f"cams/{v:0>8}_cam.txt"), pair, "1.0 0.01"
+            )
+            cv2.imwrite(
+                os.path.join(root, f"images/{v:0>8}.jpg"),
+                cv2.cvtColor((img * 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
+            )
+        with open(os.path.join(root, "pair.txt"), "w") as f:
+            f.write(f"{scene.V}\n")
+            for v in range(scene.V):
+                others = [o for o in range(scene.V) if o != v]
+                f.write(f"{v}\n{len(others)} ")
+                f.write(" ".join(f"{o} {10.0}" for o in others) + "\n")
+        return scene
+
+    def _materialize_dtu_gt(self, gt_root, scene, scan_id=1):
+        from scipy.io import savemat
+
+        from transmvsnet_tpu.fusion.ply import write_ply
+
+        rng = np.random.RandomState(0)
+        x = rng.uniform(-3, 3, 8000)
+        y = rng.uniform(-2, 2, 8000)
+        z = (scene.c - scene.n[0] * x - scene.n[1] * y) / scene.n[2]
+        stl = np.stack([x, y, z], axis=1).astype(np.float32)
+        os.makedirs(os.path.join(gt_root, "Points/stl"))
+        write_ply(
+            os.path.join(gt_root, f"Points/stl/stl{scan_id:03d}_total.ply"),
+            stl,
+            np.full((len(stl), 3), 128, np.uint8),
+        )
+        os.makedirs(os.path.join(gt_root, "ObsMask"))
+        savemat(
+            os.path.join(gt_root, f"ObsMask/ObsMask{scan_id}_10.mat"),
+            {
+                "ObsMask": np.ones((40, 40, 40), np.uint8),
+                "BB": np.array([[-5.0, -5.0, 0.0], [15.0, 15.0, 20.0]]),
+                "Res": 0.5,
+            },
+        )
+        savemat(
+            os.path.join(gt_root, f"ObsMask/Plane{scan_id}.mat"),
+            {"P": np.array([0.0, 0.0, 1.0, -1.0])},
+        )
+
+    def test_dtu_fuse_then_evaluate(self, tmp_path):
+        from transmvsnet_tpu.eval.dtu_eval import evaluate_dtu
+        from transmvsnet_tpu.tools import fuse
+
+        scan_root = tmp_path / "out" / "scan1"
+        os.makedirs(scan_root)
+        scene = self._materialize_gt_scan(str(scan_root))
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("scan1\n")
+
+        plydir = str(tmp_path / "plys")
+        fuse.main(
+            [
+                "--testpath", str(tmp_path / "out"),
+                "--testlist", str(listfile),
+                "--outdir", plydir,
+                "--test_dataset", "dtu",
+                "--photo_threshold", "0.5",
+                "--thres_view", "2",
+                "--num_workers", "1",
+            ]
+        )
+
+        gt_root = str(tmp_path / "gt")
+        self._materialize_dtu_gt(gt_root, scene, scan_id=1)
+        # evaluate_dtu locates the PLY by its own naming rule — this is the
+        # contract under test; a naming drift raises FileNotFoundError here.
+        result = evaluate_dtu(plydir, gt_root, scan_ids=[1])
+        assert np.isfinite(result["overall"])
+        assert result["overall"] < 0.5, result
+
+
 class TestTrainCLISmoke:
     def test_synthetic_one_epoch(self, tmp_path):
         from transmvsnet_tpu.tools import train

@@ -28,6 +28,16 @@ DTU_EVAL_SETS = [
 ]
 
 
+def dtu_ply_name(scan_id: int) -> str:
+    """Canonical fused-cloud filename for a DTU scan.
+
+    Single source of truth shared by the fuser (which writes it) and the
+    evaluator (which reads it); spec: reference DTU-MATLAB/
+    BaseEvalMain_web.m:34 ``mvsnet%03d_l3.ply``.
+    """
+    return f"mvsnet{scan_id:03d}_l3.ply"
+
+
 def reduce_points(
     pts: np.ndarray, min_dist: float = 0.2, seed: int = 0
 ) -> np.ndarray:
@@ -186,7 +196,7 @@ def evaluate_dtu(
     accs, comps = [], []
     per_scan = {}
     for sid in scan_ids:
-        ply = os.path.join(ply_dir, f"mvsnet{sid:03d}_l3.ply")
+        ply = os.path.join(ply_dir, dtu_ply_name(sid))
         r = evaluate_dtu_scan(ply, data_path, sid)
         per_scan[sid] = r
         accs.append(r["acc_mean"])

@@ -281,13 +281,15 @@ def fuse_scans(
 ) -> list[str]:
     """Fuse many scans in parallel (reference dynamic_fusion.py:291-301).
 
-    DTU naming: mvsnet_{scanid:03d}_l3.ply (what the DTU evaluator expects,
-    reference DTU-MATLAB/BaseEvalMain_web.m:34)."""
+    DTU naming: mvsnet{scanid:03d}_l3.ply (what the DTU evaluator expects,
+    reference DTU-MATLAB/BaseEvalMain_web.m:34 `mvsnet%03d_l3.ply`)."""
+    from transmvsnet_tpu.eval.dtu_eval import dtu_ply_name
+
     os.makedirs(outdir, exist_ok=True)
     jobs = []
     for scan in scans:
         if dataset == "dtu" and scan.startswith("scan"):
-            out_ply = os.path.join(outdir, f"mvsnet_{int(scan[4:]):0>3}_l3.ply")
+            out_ply = os.path.join(outdir, dtu_ply_name(int(scan[4:])))
         else:
             out_ply = os.path.join(outdir, f"{scan}.ply")
         jobs.append((os.path.join(testpath, scan), out_ply, params))
