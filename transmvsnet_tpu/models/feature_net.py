@@ -43,6 +43,7 @@ class DCN(nn.Module):
     padding: int = 1
     deformable_groups: int = 1
     use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -75,7 +76,13 @@ class DCN(nn.Module):
         bias = self.param(
             "bias", torch_bias_init(in_ch * K), (self.features,)
         )
-        if self.use_pallas and jax.default_backend() == "tpu":
+        interp = None
+        if self.use_pallas:
+            if jax.default_backend() == "tpu":
+                interp = False
+            elif self.pallas_interpret:
+                interp = True
+        if interp is not None:
             if x.dtype == jnp.bfloat16:
                 # bf16 activations: one-hot MXU kernel (bf16 data path,
                 # ~2x the gather kernel; see ops/pallas/dcn_onehot.py).
@@ -97,7 +104,9 @@ class DCN(nn.Module):
                         stride=self.stride, padding=self.padding,
                     ),
                     k=dcn_kernel,
-                )
+                ),
+                stride=self.stride,
+                padding=self.padding,
             )
             return deform_conv2d_pallas(x, dy, dx, mask, weight, bias)
         return deform_conv2d(
@@ -120,6 +129,7 @@ class ARFHead(nn.Module):
     lead_kernel: int = 3  # 1 for the stage-1 head (reference module.py:363)
     axis_name: str | None = None
     use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -131,23 +141,24 @@ class ARFHead(nn.Module):
             axis_name=self.axis_name,
             name="lead",
         )(x, train)
-        x = DCN(self.mid_features, use_pallas=self.use_pallas, name="dcn0")(x)
+        x = DCN(self.mid_features, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="dcn0")(x)
         x = BatchNorm(self.mid_features, axis_name=self.axis_name, name="bn0")(
             x, train
         )
         x = nn.relu(x)
-        x = DCN(self.mid_features, use_pallas=self.use_pallas, name="dcn1")(x)
+        x = DCN(self.mid_features, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="dcn1")(x)
         x = BatchNorm(self.mid_features, axis_name=self.axis_name, name="bn1")(
             x, train
         )
         x = nn.relu(x)
-        return DCN(self.out_features, use_pallas=self.use_pallas, name="dcn2")(x)
+        return DCN(self.out_features, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="dcn2")(x)
 
 
 class FeatureNet(nn.Module):
     base_channels: int = 8
     axis_name: str | None = None
     use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> dict[str, jax.Array]:
@@ -178,20 +189,20 @@ class FeatureNet(nn.Module):
         intra = conv2
         out["stage1"] = ARFHead(
             bc * 4, bc * 4, lead_kernel=1, axis_name=an,
-            use_pallas=self.use_pallas, name="out1"
+            use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="out1"
         )(intra, train)
 
         intra = upsample_nearest_2x(intra) + ConvND(
             bc * 4, 1, name="inner1"
         )(conv1)
         out["stage2"] = ARFHead(
-            bc * 4, bc * 2, axis_name=an, use_pallas=self.use_pallas, name="out2"
+            bc * 4, bc * 2, axis_name=an, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="out2"
         )(intra, train)
 
         intra = upsample_nearest_2x(intra) + ConvND(
             bc * 4, 1, name="inner2"
         )(conv0)
         out["stage3"] = ARFHead(
-            bc * 4, bc, axis_name=an, use_pallas=self.use_pallas, name="out3"
+            bc * 4, bc, axis_name=an, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="out3"
         )(intra, train)
         return out

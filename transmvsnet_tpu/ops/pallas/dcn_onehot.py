@@ -22,8 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 ROWS = 8
 WIN = 16
 DR = 3  # candidate rows per (output row, tap)
-import os as _os
-XW = int(_os.environ.get("DCN_ONEHOT_XW", "256"))
+XW = 256  # x-window tile width (lanes); probes pass overrides explicitly
 K = 9
 
 
@@ -139,7 +138,7 @@ def _kernel(
             out_ref[0, i, :, sl] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "xw"))
 def _dcn_onehot_batched(
     x: jax.Array,  # [B, H, W, C] bf16
     dy: jax.Array,  # [B, H, W, K] f32
@@ -147,12 +146,13 @@ def _dcn_onehot_batched(
     mask: jax.Array,
     weight: jax.Array,  # [K, C, C_out]
     interpret: bool = False,
+    xw: int = XW,
 ) -> jax.Array:
     B, H, W_img, C = x.shape
     C_out = weight.shape[-1]
     assert H % ROWS == 0 and H >= WIN, (H,)
     W = -(-W_img // 128) * 128
-    XW_ = min(XW, W)
+    XW_ = min(xw, W)
     if W != W_img:
         pad_off = ((0, 0), (0, 0), (0, W - W_img), (0, 0))
         x = jnp.pad(x, pad_off)
@@ -209,6 +209,7 @@ def deform_conv2d_onehot(
     padding: int = 1,
     dilation: int = 1,
     interpret: bool = False,
+    xw: int = XW,
 ) -> jax.Array:
     """Batched DCNv2, one-hot MXU kernel (bf16 inference path)."""
     assert stride == 1 and padding == 1 and dilation == 1
@@ -219,6 +220,7 @@ def deform_conv2d_onehot(
         mask.astype(jnp.float32),
         weight,
         interpret=interpret,
+        xw=xw,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)

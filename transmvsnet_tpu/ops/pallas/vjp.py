@@ -109,10 +109,17 @@ def warp_correlate_wsum_with_vjp(pallas_fwd: Callable) -> Callable:
     return f
 
 
-def deform_conv2d_with_vjp(pallas_fwd: Callable) -> Callable:
+def deform_conv2d_with_vjp(
+    pallas_fwd: Callable,
+    stride: int = 1,
+    padding: int = 1,
+    dilation: int = 1,
+) -> Callable:
     """Differentiable wrapper for a DCNv2 kernel.
 
-    ``pallas_fwd(x, dy, dx, mask, weight, bias) -> y`` (stride-1, pad-1).
+    ``pallas_fwd(x, dy, dx, mask, weight, bias) -> y``. The geometry
+    (stride/padding/dilation) must match what ``pallas_fwd`` implements —
+    it parameterizes the XLA backward linearization.
     """
     from transmvsnet_tpu.ops.dcn import deform_conv2d as dcn_xla
 
@@ -127,7 +134,9 @@ def deform_conv2d_with_vjp(pallas_fwd: Callable) -> Callable:
     def bwd(res, g):
         x, dy, dx, mask, weight, bias = res
         _, vjp_fn = jax.vjp(
-            lambda *a: dcn_xla(*a, stride=1, padding=1, dilation=1),
+            lambda *a: dcn_xla(
+                *a, stride=stride, padding=padding, dilation=dilation
+            ),
             x, dy, dx, mask, weight, bias,
         )
         return vjp_fn(g.astype(x.dtype))

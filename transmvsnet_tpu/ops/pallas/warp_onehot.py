@@ -35,12 +35,13 @@ WIN = 16  # source window rows
 DR = 6  # candidate window rows per output row (per-row matmul path)
 
 
-def _kernel(
-    rel_ref,  # SMEM [1, 3, 4]
-    depth_ref,  # VMEM [1, 1, ROWS, W]
-    ref_ref,  # VMEM [1, ROWS, C, W] bf16 (reference features, x in lanes)
-    src_hbm,  # ANY [B, H, C, W] bf16
-    out_ref,  # VMEM [1, 1, ROWS, W] f32
+def _correlate_strip(
+    r,  # scalar getter r(i, j) into the 3x4 relative projection (SMEM)
+    dep,  # [ROWS, W] depth hypotheses for this strip
+    strip,  # strip index (program id)
+    ref_ref,  # VMEM [1, ROWS, C, W] reference features
+    src_window_at,  # fn(win_start) -> HBM ref slice for the WIN-row DMA
+    emit,  # fn(i, sl, sim_row [1, 128]) output writer
     bigwin,  # scratch VMEM [WIN, C, W] bf16
     xwin,  # scratch VMEM [WIN, C, XW] bf16
     sem0,
@@ -52,18 +53,15 @@ def _kernel(
     C: int,
     XW: int,
 ):
-    b_idx = pl.program_id(0)
-    strip = pl.program_id(1)
+    """Shared strip body for the one-hot warp kernels: project the strip's
+    pixels into the source view, DMA the candidate row window, and emit one
+    correlation row per (output row, 128-lane chunk)."""
     n_chunks = W // 128
 
     row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 0)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 1)
     yo = (strip * ROWS + row_i).astype(jnp.float32)
     xo = col_i.astype(jnp.float32)
-    dep = depth_ref[0, 0]
-
-    def r(i, j):  # SMEM supports scalar loads only
-        return rel_ref[0, i, j]
 
     n0 = (r(0, 0) * xo + r(0, 1) * yo + r(0, 2)) * dep + r(0, 3)
     n1 = (r(1, 0) * xo + r(1, 1) * yo + r(1, 2)) * dep + r(1, 3)
@@ -80,9 +78,7 @@ def _kernel(
         jnp.min(jnp.where(y_ok, y0, H - 1)), 0, max(H - WIN, 0)
     )
 
-    copy = pltpu.make_async_copy(
-        src_hbm.at[b_idx, pl.ds(win_start, WIN), :, :], bigwin, sem0
-    )
+    copy = pltpu.make_async_copy(src_window_at(win_start), bigwin, sem0)
     copy.start()
     copy.wait()
 
@@ -169,7 +165,49 @@ def _kernel(
             sim_row = jnp.sum(samp * ref_slab, axis=0, keepdims=True) * (
                 1.0 / C
             )
-            out_ref[0, 0, i : i + 1, sl] = sim_row
+            emit(i, sl, sim_row)
+
+
+def _kernel(
+    rel_ref,  # SMEM [1, 3, 4]
+    depth_ref,  # VMEM [1, 1, ROWS, W]
+    ref_ref,  # VMEM [1, ROWS, C, W] bf16 (reference features, x in lanes)
+    src_hbm,  # ANY [B, H, C, W] bf16
+    out_ref,  # VMEM [1, 1, ROWS, W] f32
+    bigwin,  # scratch VMEM [WIN, C, W] bf16
+    xwin,  # scratch VMEM [WIN, C, XW] bf16
+    sem0,
+    sem1,
+    *,
+    H: int,
+    W: int,
+    W_img: int,
+    C: int,
+    XW: int,
+):
+    b_idx = pl.program_id(0)
+    strip = pl.program_id(1)
+
+    def emit(i, sl, sim_row):
+        out_ref[0, 0, i : i + 1, sl] = sim_row
+
+    _correlate_strip(
+        lambda i, j: rel_ref[0, i, j],  # SMEM supports scalar loads only
+        depth_ref[0, 0],
+        strip,
+        ref_ref,
+        lambda ws: src_hbm.at[b_idx, pl.ds(ws, WIN), :, :],
+        emit,
+        bigwin,
+        xwin,
+        sem0,
+        sem1,
+        H=H,
+        W=W,
+        W_img=W_img,
+        C=C,
+        XW=XW,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -268,119 +306,36 @@ def _wsum_kernel(
     S: int,
 ):
     b_idx = pl.program_id(0)
+    strip = pl.program_id(1)
     s_idx = pl.program_id(3)  # innermost: out block revisited across views
 
     @pl.when(s_idx == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    n_chunks = W // 128
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 1)
-    strip = pl.program_id(1)
-    yo = (strip * ROWS + row_i).astype(jnp.float32)
-    xo = col_i.astype(jnp.float32)
-    dep = depth_ref[0, 0]
-
-    def r(i, j):
-        return rel_ref[0, 0, i, j]
-
-    n0 = (r(0, 0) * xo + r(0, 1) * yo + r(0, 2)) * dep + r(0, 3)
-    n1 = (r(1, 0) * xo + r(1, 1) * yo + r(1, 2)) * dep + r(1, 3)
-    n2 = (r(2, 0) * xo + r(2, 1) * yo + r(2, 2)) * dep + r(2, 3)
-    invalid = n2 < 1e-6
-    safe_z = jnp.where(invalid, 1.0, n2)
-    px = jnp.where(invalid, _INVALID, n0 / safe_z)
-    py = jnp.where(invalid, _INVALID, n1 / safe_z)
-
-    y0 = jnp.floor(py).astype(jnp.int32)
-    x0 = jnp.floor(px).astype(jnp.int32)
-    y_ok = (y0 >= -1) & (y0 <= H - 1)
-    win_start = jnp.clip(
-        jnp.min(jnp.where(y_ok, y0, H - 1)), 0, max(H - WIN, 0)
-    )
-
-    copy = pltpu.make_async_copy(
-        src_hbm.at[b_idx, s_idx, pl.ds(win_start, WIN), :, :], bigwin, sem0
-    )
-    copy.start()
-    copy.wait()
-
-    j_iota = (
-        jax.lax.broadcasted_iota(jnp.int32, (XW, 128), 0).astype(jnp.float32)
-    )
-
-    for cx in range(n_chunks):
-        sl = slice(cx * 128, cx * 128 + 128)
-        x0_c = x0[:, sl]
-        y0_c = y0[:, sl]
-        px_c = px[:, sl]
-        py_c = py[:, sl]
-
-        x_ok_c = (x0_c >= -1) & (x0_c <= W_img - 1)
-        xmin = jnp.clip(
-            (jnp.min(jnp.where(x_ok_c, x0_c, W_img - 1)) // 128) * 128,
-            0,
-            max(W - XW, 0),
+    def emit(i, sl, sim_row):
+        vw_row = vw_ref[0, 0, i : i + 1, sl]
+        out_ref[0, 0, i : i + 1, sl] = (
+            out_ref[0, 0, i : i + 1, sl] + sim_row * vw_row
         )
-        xmin = pl.multiple_of(xmin, 128)
 
-        if XW == W:
-            win_ref = bigwin
-        else:
-            xcopy = pltpu.make_async_copy(
-                bigwin.at[:, :, pl.ds(xmin, XW)], xwin, sem1
-            )
-            xcopy.start()
-            xcopy.wait()
-            win_ref = xwin
-
-        xminf = xmin.astype(jnp.float32)
-        group = max(1, min(WIN, 128 // C))
-        stacked = group >= DR
-        cover = group if stacked else DR
-        for i in range(ROWS):
-            pxw = px_c[i : i + 1] - xminf
-            py_i = py_c[i : i + 1]
-            ew = jnp.maximum(0.0, 1.0 - jnp.abs(j_iota - pxw)).astype(
-                jnp.bfloat16
-            )
-
-            y_loc = y0_c[i : i + 1] - win_start
-            ok_i = (y0_c[i : i + 1] >= -1) & (y0_c[i : i + 1] <= H - 1)
-            r0 = jnp.clip(
-                jnp.min(jnp.where(ok_i, y_loc, WIN - 1)), 0, WIN - cover
-            )
-
-            samp = jnp.zeros((C, 128), jnp.float32)
-            if stacked:
-                stack = win_ref[pl.ds(r0, group), :, :].reshape(group * C, -1)
-                m = jnp.dot(stack, ew, preferred_element_type=jnp.float32)
-                for g in range(group):
-                    row_y = (win_start + r0 + g).astype(jnp.float32)
-                    w_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_i - row_y))
-                    row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
-                    samp = samp + m[g * C : (g + 1) * C] * (
-                        w_y * row_in.astype(jnp.float32)
-                    )
-            else:
-                for dr in range(DR):
-                    wr_idx = r0 + dr
-                    row_y = (win_start + wr_idx).astype(jnp.float32)
-                    w_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_i - row_y))
-                    row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
-                    slab = win_ref[pl.ds(wr_idx, 1), :, :][0]
-                    m = jnp.dot(slab, ew, preferred_element_type=jnp.float32)
-                    samp = samp + m * (w_y * row_in.astype(jnp.float32))
-
-            ref_slab = ref_ref[0, i, :, sl].astype(jnp.float32)
-            sim_row = jnp.sum(samp * ref_slab, axis=0, keepdims=True) * (
-                1.0 / C
-            )
-            vw_row = vw_ref[0, 0, i : i + 1, sl]
-            out_ref[0, 0, i : i + 1, sl] = (
-                out_ref[0, 0, i : i + 1, sl] + sim_row * vw_row
-            )
+    _correlate_strip(
+        lambda i, j: rel_ref[0, 0, i, j],
+        depth_ref[0, 0],
+        strip,
+        ref_ref,
+        lambda ws: src_hbm.at[b_idx, s_idx, pl.ds(ws, WIN), :, :],
+        emit,
+        bigwin,
+        xwin,
+        sem0,
+        sem1,
+        H=H,
+        W=W,
+        W_img=W_img,
+        C=C,
+        XW=XW,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

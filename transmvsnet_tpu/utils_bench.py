@@ -80,4 +80,9 @@ def timed_ms(
         np.asarray(repeated(n2, leaves))
         t_long.append(time.time() - t0)
     slope = (min(t_long) - min(t_short)) / iters
-    return max(slope, 0.0) * 1e3, compile_s
+    if slope <= 0.0:
+        raise RuntimeError(
+            f"timed_ms: timing noise exceeded signal (slope {slope * 1e3:.3f} ms"
+            f" over iters={iters}); increase iters or quiet the host"
+        )
+    return slope * 1e3, compile_s
