@@ -7,7 +7,7 @@ import pytest
 from transmvsnet_tpu.ops.dcn import deform_conv2d
 from transmvsnet_tpu.ops.pallas.dcn_rowsweep import deform_conv2d_rowsweep
 
-from test_pallas_dcn import make_inputs
+from pallas_inputs import make_inputs
 
 
 def smooth_offsets(B, H, W, K, amplitude=4.0, seed=0):

@@ -19,7 +19,7 @@ from test_pallas_rowsweep import scene
 from transmvsnet_tpu.ops.dcn import deform_conv2d
 from transmvsnet_tpu.ops.pallas.dcn_onehot import deform_conv2d_onehot
 
-from test_pallas_dcn import make_inputs
+from pallas_inputs import make_inputs
 from test_pallas_dcn_rowsweep import smooth_offsets
 
 

@@ -29,9 +29,10 @@ class ModelConfig:
     # Process all views through FeatureNet as one batch (faster on TPU;
     # changes train-mode BN statistics from per-view to joint).
     batch_views_jointly: bool = True
-    # Name of the mesh axis to sync batch-norm statistics over (the
-    # SyncBatchNorm analog); None disables cross-replica sync.
-    bn_axis_name: str | None = None
+    # SyncBatchNorm (reference train.py:363) needs no switch here: under
+    # single-controller jit the batch arrays are GLOBAL, so BN's
+    # batch-axis mean/var are cross-replica reductions by construction —
+    # GSPMD inserts the collectives when the batch is sharded over 'data'.
     # Activation compute dtype: "float32" (reference numerics) or
     # "bfloat16" (TPU-native speed; geometry/softmax/losses stay f32).
     compute_dtype: str = "float32"
@@ -40,6 +41,10 @@ class ModelConfig:
     # XLA reference path around the saved inputs (ops/pallas/vjp.py), so
     # training may enable this too.
     use_pallas: bool = False
+    # Run the Pallas kernels in interpret mode off-TPU (slow; testing only).
+    # With use_pallas=True on a non-TPU backend this keeps the kernel code
+    # path live — e.g. the multichip dryrun proves kernels × GSPMD compose.
+    pallas_interpret: bool = False
     # Depth-as-channels CostRegNet (models/cost_reg.CostRegNetDense): the
     # same math and parameter tree, expressed as MXU-shaped 2-D convs.
     dense_cost_reg: bool = True

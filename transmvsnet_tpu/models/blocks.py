@@ -10,8 +10,9 @@ These reimplement the conv/BN wrapper semantics of the reference
   chosen so a converted torch ``ConvTranspose`` weight slots in directly.
 - ``BatchNorm`` follows torch: biased batch variance for normalization,
   unbiased for the running update, ``new = (1-m)·old + m·batch`` with
-  m=0.1. Passing ``axis_name`` turns it into the SyncBatchNorm analog
-  (cross-replica mean/var via ``lax.pmean``; reference train.py:363).
+  m=0.1. SyncBatchNorm (reference train.py:363) needs no explicit analog:
+  batch arrays are global under single-controller jit, so the batch-axis
+  moments already reduce across data-parallel replicas via GSPMD.
 - Weight init mirrors torch defaults (kaiming-uniform a=√5, fan-in bias).
 """
 
@@ -60,7 +61,6 @@ class BatchNorm(nn.Module):
     features: int
     momentum: float = 0.1
     epsilon: float = 1e-5
-    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -78,11 +78,11 @@ class BatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=reduce_axes)
             mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            # SyncBatchNorm (reference train.py:363) is implicit: x is a
+            # GLOBAL array under single-controller jit, so these batch-axis
+            # means already reduce across every data-parallel replica —
+            # GSPMD inserts the cross-device collectives.
             n = float(np.prod([x.shape[a] for a in reduce_axes]))
-            if self.axis_name is not None:
-                mean = lax.pmean(mean, self.axis_name)
-                mean_sq = lax.pmean(mean_sq, self.axis_name)
-                n = n * lax.psum(1, self.axis_name)
             var = mean_sq - jnp.square(mean)
             if not self.is_initializing():
                 m = self.momentum
@@ -217,7 +217,6 @@ class ConvBnReLU(nn.Module):
     ndim: int = 2
     transpose: bool = False
     output_padding: Sequence[int] | int = 0
-    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -246,7 +245,6 @@ class ConvBnReLU(nn.Module):
             x = BatchNorm(
                 self.features,
                 momentum=self.bn_momentum,
-                axis_name=self.axis_name,
                 name="bn",
             )(x, train)
         if self.relu:

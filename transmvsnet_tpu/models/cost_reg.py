@@ -19,13 +19,11 @@ from transmvsnet_tpu.models.blocks import ConvBnReLU, ConvND
 
 class CostRegNet(nn.Module):
     base_channels: int = 8
-    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         """x: [B, D, H, W, C_in] -> [B, D, H, W, 1]."""
         c = self.base_channels
-        an = self.axis_name
 
         def conv(feat, features, stride=1, name=""):
             return ConvBnReLU(
@@ -34,7 +32,6 @@ class CostRegNet(nn.Module):
                 strides=stride,
                 padding=1,
                 ndim=3,
-                axis_name=an,
                 name=name,
             )(feat, train)
 
@@ -47,7 +44,6 @@ class CostRegNet(nn.Module):
                 output_padding=1,
                 ndim=3,
                 transpose=True,
-                axis_name=an,
                 name=name,
             )(feat, train)
 
@@ -119,7 +115,6 @@ class _TiledBN(nn.Module):
     tile: int  # D
     momentum: float = 0.1
     epsilon: float = 1e-5
-    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -136,11 +131,10 @@ class _TiledBN(nn.Module):
             meansq_dc = jnp.mean(jnp.square(xf), axis=reduce_axes).reshape(D, C)
             mean = jnp.mean(mean_dc, axis=0)
             mean_sq = jnp.mean(meansq_dc, axis=0)
+            # Cross-replica stat sync is implicit: x is a global array
+            # under jit, so the batch-axis mean is already a GSPMD
+            # collective when the batch is data-sharded.
             n = float(np.prod([x.shape[a] for a in reduce_axes])) * D
-            if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
-                n = n * jax.lax.psum(1, self.axis_name)
             var = mean_sq - jnp.square(mean)
             if not self.is_initializing():
                 m = self.momentum
@@ -173,7 +167,6 @@ class _DenseConvBN(nn.Module):
     mode: str  # "same" | "down" | "up"
     relu: bool = True
     bn: bool = True
-    axis_name: str | None = None
 
     @property
     def D_out(self) -> int:
@@ -210,7 +203,7 @@ class _DenseConvBN(nn.Module):
             )
         if self.bn:
             y = _TiledBN(
-                self.features, self.D_out, axis_name=self.axis_name, name="bn"
+                self.features, self.D_out, name="bn"
             )(y, train)
         if self.relu:
             y = nn.relu(y)
@@ -228,18 +221,16 @@ class CostRegNetDense(nn.Module):
     """
 
     base_channels: int = 8
-    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         B, D, H, W, C_in = x.shape
         c = self.base_channels
-        an = self.axis_name
         x2d = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, D * C_in)
 
         def layer(feat, features, in_ch, D_in, mode, name):
             return _DenseConvBN(
-                features, in_ch, D_in, mode, axis_name=an, name=name
+                features, in_ch, D_in, mode, name=name
             )(feat, train)
 
         D2, D4, D8 = (D + 1) // 2, (D + 3) // 4, (D + 7) // 8
@@ -283,16 +274,14 @@ class PixelwiseNet(nn.Module):
     [B, D, H, W, 1] -> [B, H, W, 1] via 1×1×1 convs, sigmoid, max over D.
     """
 
-    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        an = self.axis_name
         x = ConvBnReLU(
-            16, kernel_size=1, padding=0, ndim=3, axis_name=an, name="conv0"
+            16, kernel_size=1, padding=0, ndim=3, name="conv0"
         )(x, train)
         x = ConvBnReLU(
-            8, kernel_size=1, padding=0, ndim=3, axis_name=an, name="conv1"
+            8, kernel_size=1, padding=0, ndim=3, name="conv1"
         )(x, train)
         x = ConvND(1, 1, padding=0, ndim=3, name="conv2")(x)
         x = jax.nn.sigmoid(x)

@@ -99,11 +99,13 @@ class DCN(nn.Module):
 
             deform_conv2d_pallas = deform_conv2d_with_vjp(
                 functools.partial(
-                    lambda x_, dy_, dx_, m_, w_, b_, k: k(
+                    lambda x_, dy_, dx_, m_, w_, b_, k, it: k(
                         x_, dy_, dx_, m_, w_, b_,
                         stride=self.stride, padding=self.padding,
+                        interpret=it,
                     ),
                     k=dcn_kernel,
+                    it=interp,
                 ),
                 stride=self.stride,
                 padding=self.padding,
@@ -127,7 +129,6 @@ class ARFHead(nn.Module):
     mid_features: int
     out_features: int
     lead_kernel: int = 3  # 1 for the stage-1 head (reference module.py:363)
-    axis_name: str | None = None
     use_pallas: bool = False
     pallas_interpret: bool = False
 
@@ -138,16 +139,15 @@ class ARFHead(nn.Module):
             self.mid_features,
             kernel_size=self.lead_kernel,
             padding=pad,
-            axis_name=self.axis_name,
             name="lead",
         )(x, train)
         x = DCN(self.mid_features, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="dcn0")(x)
-        x = BatchNorm(self.mid_features, axis_name=self.axis_name, name="bn0")(
+        x = BatchNorm(self.mid_features, name="bn0")(
             x, train
         )
         x = nn.relu(x)
         x = DCN(self.mid_features, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="dcn1")(x)
-        x = BatchNorm(self.mid_features, axis_name=self.axis_name, name="bn1")(
+        x = BatchNorm(self.mid_features, name="bn1")(
             x, train
         )
         x = nn.relu(x)
@@ -156,14 +156,12 @@ class ARFHead(nn.Module):
 
 class FeatureNet(nn.Module):
     base_channels: int = 8
-    axis_name: str | None = None
     use_pallas: bool = False
     pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> dict[str, jax.Array]:
         bc = self.base_channels
-        an = self.axis_name
 
         def seq(feats, specs, name):
             for i, (features, k, s, p) in enumerate(specs):
@@ -172,7 +170,6 @@ class FeatureNet(nn.Module):
                     kernel_size=k,
                     strides=s,
                     padding=p,
-                    axis_name=an,
                     name=f"{name}_{i}",
                 )(feats, train)
             return feats
@@ -188,7 +185,7 @@ class FeatureNet(nn.Module):
         out = {}
         intra = conv2
         out["stage1"] = ARFHead(
-            bc * 4, bc * 4, lead_kernel=1, axis_name=an,
+            bc * 4, bc * 4, lead_kernel=1,
             use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="out1"
         )(intra, train)
 
@@ -196,13 +193,13 @@ class FeatureNet(nn.Module):
             bc * 4, 1, name="inner1"
         )(conv1)
         out["stage2"] = ARFHead(
-            bc * 4, bc * 2, axis_name=an, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="out2"
+            bc * 4, bc * 2, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="out2"
         )(intra, train)
 
         intra = upsample_nearest_2x(intra) + ConvND(
             bc * 4, 1, name="inner2"
         )(conv0)
         out["stage3"] = ARFHead(
-            bc * 4, bc, axis_name=an, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="out3"
+            bc * 4, bc, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="out3"
         )(intra, train)
         return out

@@ -33,6 +33,7 @@ from transmvsnet_tpu.models.blocks import (
     xavier_uniform_init,
 )
 from transmvsnet_tpu.ops.sampling import resize_bilinear
+from transmvsnet_tpu.parallel.sharding import constrain
 
 
 def sine_position_encoding(h: int, w: int, d_model: int) -> np.ndarray:
@@ -142,8 +143,18 @@ class FMT(nn.Module):
         pe = jnp.asarray(sine_position_encoding(H, W, C))[None].astype(
             ref_feature.dtype
         )
-        ref = (ref_feature + pe).reshape(B, H * W, C)
-        src = (src_features + pe[:, None]).reshape(B * S, H * W, C)
+        # Sequence parallelism (SURVEY §5): shard the token axis over the
+        # "seq" logical axis. Every op in an encoder layer is token-local
+        # except the KV/Z sums in linear_attention, which GSPMD lowers to
+        # partial-KV einsums + psum — exact, no ring/Ulysses machinery.
+        def cr_ref(x):
+            return constrain(x, "data", "seq", None)
+
+        def cr_src(x):
+            return constrain(x, ("data", "view"), "seq", None)
+
+        ref = cr_ref((ref_feature + pe).reshape(B, H * W, C))
+        src = cr_src((src_features + pe[:, None]).reshape(B * S, H * W, C))
 
         layers = [
             EncoderLayer(self.d_model, self.n_heads, name=f"layer{i}")
@@ -153,15 +164,17 @@ class FMT(nn.Module):
         ref_intermediates: list[jax.Array] = []
         for i, name in enumerate(self.layer_names):
             if name == "self":
-                ref = layers[i](ref, ref)
+                ref = cr_ref(layers[i](ref, ref))
                 ref_intermediates.append(ref)
-                src = layers[i](src, src)
+                src = cr_src(layers[i](src, src))
             elif name == "cross":
                 inter = ref_intermediates[i // 2]
-                tiled = jnp.broadcast_to(
-                    inter[:, None], (B, S, H * W, C)
-                ).reshape(B * S, H * W, C)
-                src = layers[i](src, tiled)
+                tiled = cr_src(
+                    jnp.broadcast_to(
+                        inter[:, None], (B, S, H * W, C)
+                    ).reshape(B * S, H * W, C)
+                )
+                src = cr_src(layers[i](src, tiled))
             else:
                 raise ValueError(f"unknown layer kind {name}")
 

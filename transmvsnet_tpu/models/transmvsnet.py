@@ -64,8 +64,8 @@ class TransMVSNet(nn.Module):
         cfg = self.cfg
         self.feature = FeatureNet(
             cfg.base_channels,
-            axis_name=cfg.bn_axis_name,
             use_pallas=cfg.use_pallas,
+            pallas_interpret=cfg.pallas_interpret,
         )
         self.fmt = FMTWithPathway(
             base_channels=cfg.base_channels,
@@ -74,11 +74,8 @@ class TransMVSNet(nn.Module):
             layer_names=tuple(cfg.fmt_layers),
         )
         cost_reg_cls = CostRegNetDense if cfg.dense_cost_reg else CostRegNet
-        self.cost_regs = [
-            cost_reg_cls(c, axis_name=cfg.bn_axis_name)
-            for c in cfg.cr_base_channels
-        ]
-        self.pixel_wise_net = PixelwiseNet(axis_name=cfg.bn_axis_name)
+        self.cost_regs = [cost_reg_cls(c) for c in cfg.cr_base_channels]
+        self.pixel_wise_net = PixelwiseNet()
 
     def extract_features(self, imgs: jax.Array, train: bool) -> dict[str, jax.Array]:
         """imgs [B, V, H, W, 3] -> per-stage features [B, V, h, w, C]."""
@@ -127,18 +124,36 @@ class TransMVSNet(nn.Module):
         ref_proj, src_projs = fused[:, 0], fused[:, 1:]
         src_feas = constrain(features[:, 1:], "data", "view", None, None, None)
 
+        # Pallas kernel dispatch: real kernels on TPU, interpret mode when
+        # cfg.pallas_interpret (keeps the kernel path live in CPU tests and
+        # the multichip dryrun — proves kernels × GSPMD compose).
+        interp = None
+        if self.cfg.use_pallas:
+            if jax.default_backend() == "tpu":
+                interp = False
+            elif self.cfg.pallas_interpret:
+                interp = True
+
         # Stages with precomputed view weights (2-3): fuse the weighted
         # accumulation over source views INTO the warp kernel — the
         # [B, S, D, h, w] per-view volume (127 MB f32 at stages 2-3) is
         # never materialized and ref/depth blocks are read once per
-        # (strip, d) instead of per view.
+        # (strip, d) instead of per view. The in-kernel view sum is NOT
+        # view-axis-associative under GSPMD, so this path is gated off
+        # when the active mesh shards views.
+        from transmvsnet_tpu.parallel.sharding import active_mesh
+
+        mesh = active_mesh()
+        view_sharded = mesh is not None and mesh.shape.get("view", 1) > 1
         if (
             view_weights is not None
             and self.cfg.fused_view_sum
-            and self.cfg.use_pallas
-            and jax.default_backend() == "tpu"
+            and not view_sharded
+            and interp is not None
             and src_feas.dtype == jnp.bfloat16
         ):
+            import functools
+
             from transmvsnet_tpu.ops.pallas.vjp import (
                 warp_correlate_wsum_with_vjp,
             )
@@ -147,7 +162,7 @@ class TransMVSNet(nn.Module):
             )
 
             fused_warp = warp_correlate_wsum_with_vjp(
-                warp_correlate_wsum_onehot
+                functools.partial(warp_correlate_wsum_onehot, interpret=interp)
             )
             vw_flat = view_weights[..., 0]  # [B, S, h, w]
             weighted = fused_warp(
@@ -156,82 +171,73 @@ class TransMVSNet(nn.Module):
             similarity = weighted / (
                 1e-5 + jnp.sum(vw_flat, axis=1)[:, None]
             )
-            similarity = constrain(similarity, "data", "depth", None, None)
-            cost = cost_reg(
-                similarity.astype(jnp.dtype(self.cfg.compute_dtype))[..., None],
-                train,
-            )[..., 0]
-            prob_volume = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
-            depth = depth_wta(prob_volume, depth_values)
-            photo_confidence = jax.lax.stop_gradient(
-                jnp.max(prob_volume, axis=1)
-            )
-            outputs = {
-                "depth": depth,
-                "photo_confidence": photo_confidence,
-                "prob_volume": prob_volume,
-                "depth_values": depth_values,
-            }
-            return outputs, view_weights
+        else:
+            # All source views at once: [B, S, D, h, w]. The accumulation
+            # over S below is associative — under a view-sharded mesh it
+            # lowers to a psum.
+            if interp is not None:
+                import functools
 
-        # All source views at once: [B, S, D, h, w]. The accumulation over S
-        # below is associative — under a view-sharded mesh it lowers to a psum.
-        if self.cfg.use_pallas and jax.default_backend() == "tpu":
-            # Flatten views into the kernel's native batch grid (vmap over
-            # a pallas_call with an ANY-space operand is unsupported).
-            if src_feas.dtype == jnp.bfloat16:
-                # bf16 activations: one-hot MXU kernel (see warp_onehot.py).
-                from transmvsnet_tpu.ops.pallas.warp_onehot import (
-                    warp_correlate_onehot as warp_kernel,
+                # Flatten views into the kernel's native batch grid (vmap
+                # over a pallas_call with an ANY-space operand is
+                # unsupported).
+                if src_feas.dtype == jnp.bfloat16:
+                    # bf16 activations: one-hot MXU kernel (warp_onehot.py).
+                    from transmvsnet_tpu.ops.pallas.warp_onehot import (
+                        warp_correlate_onehot as warp_kernel,
+                    )
+                else:
+                    from transmvsnet_tpu.ops.pallas.warp_rowsweep import (
+                        warp_correlate_rowsweep as warp_kernel,
+                    )
+                from transmvsnet_tpu.ops.pallas.vjp import (
+                    warp_correlate_with_vjp,
                 )
+
+                warp_fn = warp_correlate_with_vjp(
+                    functools.partial(warp_kernel, interpret=interp)
+                )
+
+                Cc = src_feas.shape[-1]
+                sim = warp_fn(
+                    src_feas.reshape(B * S, h, w, Cc),
+                    jnp.broadcast_to(
+                        ref_fea[:, None], (B, S, h, w, Cc)
+                    ).reshape(B * S, h, w, Cc),
+                    src_projs.reshape(B * S, 4, 4),
+                    jnp.broadcast_to(ref_proj[:, None], (B, S, 4, 4)).reshape(
+                        B * S, 4, 4
+                    ),
+                    jnp.broadcast_to(
+                        depth_values[:, None], (B, S, D, h, w)
+                    ).reshape(B * S, D, h, w),
+                ).reshape(B, S, D, h, w)
             else:
-                from transmvsnet_tpu.ops.pallas.warp_rowsweep import (
-                    warp_correlate_rowsweep as warp_kernel,
-                )
-            from transmvsnet_tpu.ops.pallas.vjp import warp_correlate_with_vjp
+                sim = jax.vmap(
+                    lambda fea, p: warp_correlate(
+                        fea, ref_fea, p, ref_proj, depth_values
+                    ),
+                    in_axes=(1, 1),
+                    out_axes=1,
+                )(src_feas, src_projs)
+            sim = constrain(sim, "data", "view", "depth", None, None)
 
-            warp_correlate_rowsweep = warp_correlate_with_vjp(warp_kernel)
+            if view_weights is None:
+                # Reference computes visibility at stage 1 only; gradients
+                # flow through the (non-detached) weights used in this
+                # stage's sum, while later stages get the detached copies
+                # (reference TransMVSNet.py:82-84,107).
+                w_used = self.pixel_wise_net(
+                    sim.reshape(B * S, D, h, w)[..., None], train
+                ).reshape(B, S, h, w, 1)
+                view_weights = jax.lax.stop_gradient(w_used)
+            else:
+                w_used = view_weights
 
-            Cc = src_feas.shape[-1]
-            sim = warp_correlate_rowsweep(
-                src_feas.reshape(B * S, h, w, Cc),
-                jnp.broadcast_to(
-                    ref_fea[:, None], (B, S, h, w, Cc)
-                ).reshape(B * S, h, w, Cc),
-                src_projs.reshape(B * S, 4, 4),
-                jnp.broadcast_to(ref_proj[:, None], (B, S, 4, 4)).reshape(
-                    B * S, 4, 4
-                ),
-                jnp.broadcast_to(
-                    depth_values[:, None], (B, S, D, h, w)
-                ).reshape(B * S, D, h, w),
-            ).reshape(B, S, D, h, w)
-        else:
-            sim = jax.vmap(
-                lambda fea, p: warp_correlate(
-                    fea, ref_fea, p, ref_proj, depth_values
-                ),
-                in_axes=(1, 1),
-                out_axes=1,
-            )(src_feas, src_projs)
-        sim = constrain(sim, "data", "view", "depth", None, None)
-
-        if view_weights is None:
-            # Reference computes visibility at stage 1 only; gradients flow
-            # through the (non-detached) weights used in this stage's sum,
-            # while later stages get the detached copies
-            # (reference TransMVSNet.py:82-84,107).
-            w_used = self.pixel_wise_net(
-                sim.reshape(B * S, D, h, w)[..., None], train
-            ).reshape(B, S, h, w, 1)
-            view_weights = jax.lax.stop_gradient(w_used)
-        else:
-            w_used = view_weights
-
-        w_bcast = w_used[..., 0][:, :, None]  # [B, S, 1, h, w]
-        similarity = jnp.sum(sim * w_bcast, axis=1) / (
-            1e-5 + jnp.sum(w_bcast, axis=1)
-        )
+            w_bcast = w_used[..., 0][:, :, None]  # [B, S, 1, h, w]
+            similarity = jnp.sum(sim * w_bcast, axis=1) / (
+                1e-5 + jnp.sum(w_bcast, axis=1)
+            )
         similarity = constrain(similarity, "data", "depth", None, None)
 
         cost = cost_reg(

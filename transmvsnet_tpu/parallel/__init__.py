@@ -1,4 +1,4 @@
-from transmvsnet_tpu.parallel.mesh import make_mesh, local_batch_slice
+from transmvsnet_tpu.parallel.mesh import initialize_distributed, make_mesh
 from transmvsnet_tpu.parallel.sharding import (
     sharding_rules,
     constrain,

@@ -42,13 +42,27 @@ def make_mesh(
     return Mesh(dev_array, AXES)
 
 
-def local_batch_slice(global_batch: int, mesh: Mesh) -> tuple[int, int]:
-    """(start, size) of this process's slice of the global batch dimension."""
-    data_size = mesh.shape["data"]
-    assert global_batch % data_size == 0
-    # Single-process: the full batch. Multi-process JAX would slice by
-    # process index along the data axis.
-    if jax.process_count() == 1:
-        return 0, global_batch
-    per_proc = global_batch // jax.process_count()
-    return jax.process_index() * per_proc, per_proc
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bootstrap — the torch.distributed.launch/NCCL-env analog
+    (reference train.py:296-301).
+
+    With no arguments, jax.distributed.initialize auto-detects the cluster
+    from the environment (TPU pod metadata / SLURM / OMPI vars). Explicit
+    arguments support manual launches and the two-process CPU test.
+    Idempotent: safe to call when already initialized.
+    """
+    # Note: must run before any other JAX call — touching a backend first
+    # (even jax.devices()) locks in single-process mode.
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise

@@ -45,20 +45,40 @@ def active_mesh() -> Mesh | None:
     return rules.mesh if rules else None
 
 
-def constrain(x: jax.Array, *logical_axes: str | None) -> jax.Array:
+# Logical-axis aliases. "seq" is the FMT token axis: it reuses the mesh's
+# "depth" axis because the two are phase-disjoint — FMT runs before any
+# depth-hypothesis tensor exists, and by the time depth slabs are live the
+# token axis is gone. Sharding tokens over it gives exact sequence-parallel
+# linear attention: the KV = Σ_s K_s⊗V_s and Z = Σ_s K_s contractions in
+# models/fmt.linear_attention (reference models/FMT.py:29-32) are sums over
+# the sharded axis, so GSPMD lowers them to local partial-KV einsums + psum.
+_LOGICAL_ALIASES = {"seq": "depth"}
+
+
+def constrain(x: jax.Array, *logical_axes) -> jax.Array:
     """Annotate ``x`` with a sharding over the active mesh.
 
-    ``logical_axes`` has one entry per dimension of x; entries are mesh axis
-    names or None (unsharded). Axes of size 1 in the mesh are dropped.
+    ``logical_axes`` has one entry per dimension of x; entries are logical
+    axis names, tuples of names (dimension sharded over several mesh axes),
+    or None (unsharded). Mesh axes of size 1 are dropped.
     """
     rules = _RULES.get()
     if rules is None:
         return x
     mesh = rules.mesh
-    spec = tuple(
-        (a if (a is not None and mesh.shape.get(a, 1) > 1) else None)
-        for a in logical_axes
-    )
+
+    def resolve(a):
+        if a is None:
+            return None
+        if isinstance(a, tuple):
+            names = tuple(n for n in (resolve(n) for n in a) if n is not None)
+            if not names:
+                return None
+            return names if len(names) > 1 else names[0]
+        a = _LOGICAL_ALIASES.get(a, a)
+        return a if mesh.shape.get(a, 1) > 1 else None
+
+    spec = tuple(resolve(a) for a in logical_axes)
     if all(s is None for s in spec):
         return x
     assert len(spec) == x.ndim, (spec, x.shape)
@@ -75,8 +95,21 @@ def batch_spec(batch: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """device_put a host batch with its leading dim sharded over 'data'."""
-    return jax.device_put(batch, batch_spec(batch, mesh))
+    """Host batch -> global array, leading dim sharded over 'data'.
+
+    Single-process: a plain sharded device_put. Multi-process (the
+    reference's DDP/DistributedSampler contract, train.py:296-301,377-384):
+    each process holds only its local slice of the global batch, so the
+    global array is assembled with make_array_from_process_local_data —
+    a device_put of host-global data onto a cross-process mesh would fail.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(batch, batch_spec(batch, mesh))
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.make_array_from_process_local_data(sharding, leaf),
+        batch,
+    )
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -66,6 +66,16 @@ def parse_args(argv=None):
     p.add_argument("--summary_freq", type=int, default=50)
     p.add_argument("--save_freq", type=int, default=1)
     p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host: call jax.distributed.initialize before anything "
+        "else (auto-detects the cluster unless --coordinator is given) and "
+        "shard the dataset per process, DistributedSampler-style",
+    )
+    p.add_argument("--coordinator", default="", help="host:port of process 0")
+    p.add_argument("--num_processes", type=int, default=0, help="0 = auto")
+    p.add_argument("--process_id", type=int, default=-1, help="-1 = auto")
     p.add_argument("--mesh_data", type=int, default=0, help="0 = all devices")
     p.add_argument("--mesh_view", type=int, default=1)
     p.add_argument("--mesh_depth", type=int, default=1)
@@ -101,6 +111,14 @@ def build_dataset(args, split: str):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.distributed:
+        from transmvsnet_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes or None,
+            process_id=None if args.process_id < 0 else args.process_id,
+        )
     np.random.seed(args.seed)
 
     ndepths = tuple(int(x) for x in args.ndepths.split(","))
@@ -123,12 +141,33 @@ def main(argv=None):
     )
     global_batch = args.batch_size * mesh.shape["data"]
 
+    # Per-process data sharding (the DistributedSampler contract,
+    # reference train.py:377-384): each process loads a disjoint slice of
+    # the index space and a global_batch/process_count local batch;
+    # shard_batch assembles the global array across processes.
+    n_proc = jax.process_count()
+    assert global_batch % n_proc == 0, (global_batch, n_proc)
+    local_batch = global_batch // n_proc
+
     train_ds = build_dataset(args, "train")
     val_ds = build_dataset(args, "val") if args.dataset != "synthetic" else train_ds
     train_loader = ShardedLoader(
-        train_ds, global_batch, shuffle=True, seed=args.seed, drop_last=True
+        train_ds,
+        local_batch,
+        shuffle=True,
+        num_shards=n_proc,
+        shard_id=jax.process_index(),
+        seed=args.seed,
+        drop_last=True,
     )
-    val_loader = ShardedLoader(val_ds, global_batch, shuffle=False, drop_last=True)
+    val_loader = ShardedLoader(
+        val_ds,
+        local_batch,
+        shuffle=False,
+        num_shards=n_proc,
+        shard_id=jax.process_index(),
+        drop_last=True,
+    )
 
     steps_per_epoch = max(len(train_loader), 1)
     milestones_epochs = [int(e) for e in args.lrepochs.split(":")[0].split(",")]
@@ -154,7 +193,24 @@ def main(argv=None):
         train=False,
     )
     if args.loadckpt:
-        variables = load_weights(args.loadckpt, variables)
+        if args.loadckpt.endswith(".ckpt"):
+            # Torch checkpoint (e.g. the published model_dtu.ckpt for the
+            # BLD-finetune recipe, reference scripts/train_bld_fintune.sh):
+            # convert transparently, same as tools/infer.py.
+            from transmvsnet_tpu.convert.torch_weights import (
+                convert_state_dict,
+                load_torch_checkpoint,
+            )
+
+            sd = load_torch_checkpoint(args.loadckpt)
+            variables = jax.tree_util.tree_map(
+                jnp.asarray,
+                convert_state_dict(
+                    sd, jax.tree_util.tree_map(np.asarray, variables)
+                ),
+            )
+        else:
+            variables = load_weights(args.loadckpt, variables)
         print(f"loaded weights from {args.loadckpt}")
     state = create_train_state(model, variables, optimizer)
 
