@@ -13,9 +13,10 @@
 //     if ≥ num_consistent views agree, emit the averaged 3D point + color.
 //
 // Inputs per scan folder: depth_est/NNNNNNNN.pfm, cams/NNNNNNNN_cam.txt
-// (MVSNet format: extrinsic 4x4, intrinsic 3x3), images/NNNNNNNN.{ppm,jpg*}
-// (*jpg only when built with OpenCV; the default build reads PPM or skips
-// color), pair.txt. Output: one binary PLY.
+// (MVSNet format: extrinsic 4x4, intrinsic 3x3), images/NNNNNNNN.ppm
+// (optional; points are colorless without it — the Python driver
+// fusion/native.ensure_ppm_images converts the pipeline's JPEGs),
+// pair.txt. Output: one binary PLY.
 //
 // Usage: tpu_fuser <scan_folder> <out.ply> [--disp_threshold 0.25]
 //        [--num_consistent 3] [--min_depth 0] [--max_depth 1e9]

@@ -175,6 +175,36 @@ class TestDTUFuseEvalChain:
         assert np.isfinite(result["overall"])
         assert result["overall"] < 0.5, result
 
+    def test_dtu_native_filter_method(self, tmp_path):
+        """--filter_method native: the C++ binary runs the same CLI chain
+        end-to-end and emits colored points (JPEG→PPM bridge)."""
+        from transmvsnet_tpu.fusion.ply import read_ply
+        from transmvsnet_tpu.tools import fuse
+
+        scan_root = tmp_path / "out" / "scan1"
+        os.makedirs(scan_root)
+        self._materialize_gt_scan(str(scan_root))
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("scan1\n")
+
+        plydir = str(tmp_path / "plys")
+        fuse.main(
+            [
+                "--testpath", str(tmp_path / "out"),
+                "--testlist", str(listfile),
+                "--outdir", plydir,
+                "--test_dataset", "dtu",
+                "--filter_method", "native",
+                "--num_consistent", "2",
+            ]
+        )
+        ply = os.path.join(plydir, "mvsnet001_l3.ply")
+        assert os.path.exists(ply)
+        xyz, rgb = read_ply(ply)
+        assert len(xyz) > 1000
+        # Colored points: the JPEG images were bridged to PPM for the binary.
+        assert rgb is not None and np.asarray(rgb).std() > 0
+
 
 class TestTrainCLISmoke:
     def test_synthetic_one_epoch(self, tmp_path):

@@ -17,6 +17,7 @@ bld_train.py, general_eval.py, tnt_eval.py.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any
 
 import cv2
@@ -259,6 +260,12 @@ class GeneralEvalDataset:
         self.ndepths = ndepths
         self.interval_scale = interval_scale
         self.max_h, self.max_w = max_h, max_w
+        # Cross-sample resolution pin (the reference's fix_res/fix_wh
+        # coupling, general_eval.py:162-180): the first sample's resolution
+        # becomes the run's resolution, so batches over mixed-size scans
+        # stack cleanly and XLA sees one shape.
+        self._run_hw: tuple[int, int] | None = None
+        self._run_hw_lock = threading.Lock()
         scans = (
             read_scan_list(listfile) if isinstance(listfile, str) else list(listfile)
         )
@@ -299,7 +306,10 @@ class GeneralEvalDataset:
                 img, cam.intrinsics, self.max_w, self.max_h
             )
             if i == 0:
-                std_hw = img.shape[:2]
+                with self._run_hw_lock:
+                    if self._run_hw is None:
+                        self._run_hw = tuple(img.shape[:2])
+                std_hw = self._run_hw
             if img.shape[:2] != std_hw:
                 sh = std_hw[0] / img.shape[0]
                 sw = std_hw[1] / img.shape[1]
@@ -361,12 +371,25 @@ class TnTEvalDataset:
         ndepths: int = 192,
         interval_scale: float = 1.0,
         inverse_depth: bool = False,
+        pad_views: bool = True,
+        bucket_hw: tuple[int, int] | None = None,
     ):
+        """XLA shape bucketing (SURVEY §7 hard part 5): with ``pad_views``
+        every sample has exactly ``nviews`` views (short src lists padded by
+        repeating the best source view, the general_eval.py:53-57 contract)
+        instead of the reference's per-sample clipping — per-sample V
+        variance would trigger one TPU recompile per distinct V. With the
+        per-scene native sizes the full TnT run then compiles at most one
+        graph per distinct (H, W) (two: 1920- and 2048-wide groups);
+        ``bucket_hw`` forces a single (max_h, max_w) bucket for all scenes.
+        """
         self.datapath = datapath
         self.nviews = nviews
         self.ndepths = ndepths
         self.interval_scale = interval_scale
         self.inverse_depth = inverse_depth
+        self.pad_views = pad_views
+        self.bucket_hw = bucket_hw
         scans = (
             read_scan_list(listfile) if isinstance(listfile, str) else list(listfile)
         )
@@ -382,13 +405,27 @@ class TnTEvalDataset:
 
     def __getitem__(self, idx: int) -> dict[str, Any]:
         scan, ref_view, src_views = self.metas[idx]
-        nviews = min(self.nviews, len(src_views) + 1)
+        if self.pad_views:
+            if len(src_views) < self.nviews - 1 and src_views:
+                src_views = src_views + [src_views[0]] * (
+                    self.nviews - 1 - len(src_views)
+                )
+            nviews = self.nviews
+        else:
+            nviews = min(self.nviews, len(src_views) + 1)
         view_ids = [ref_view] + src_views[: nviews - 1]
-        max_w, max_h = self.IMAGE_SIZES[scan]
+        if self.bucket_hw is not None:
+            max_h, max_w = self.bucket_hw
+            # Force the exact bucket shape: the per-view resize below is a
+            # pure intrinsics rescale, so geometry stays exact even when the
+            # aspect ratio changes.
+            std_hw = (max_h // 32 * 32, max_w // 32 * 32)
+        else:
+            max_w, max_h = self.IMAGE_SIZES[scan]
+            std_hw = None
 
         imgs, pairs = [], []
         depth_values = None
-        std_hw = None
         for i, vid in enumerate(view_ids):
             img_path = os.path.join(self.datapath, f"{scan}/images/{vid:0>8}.jpg")
             cam_path = os.path.join(self.datapath, f"{scan}/cams_1/{vid:0>8}_cam.txt")

@@ -14,16 +14,22 @@ from typing import Any
 import numpy as np
 
 
-def _texture(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+def _texture(x: np.ndarray, y: np.ndarray, phase: float = 0.0) -> np.ndarray:
     """Smooth, high-frequency-ish RGB texture over world coordinates."""
-    r = 0.5 + 0.5 * np.sin(3.1 * x) * np.cos(2.7 * y)
-    g = 0.5 + 0.5 * np.sin(1.7 * x + 2.3 * y)
-    b = 0.5 + 0.25 * np.sin(5.3 * x) + 0.25 * np.cos(4.1 * y)
+    r = 0.5 + 0.5 * np.sin(3.1 * x + phase) * np.cos(2.7 * y)
+    g = 0.5 + 0.5 * np.sin(1.7 * x + 2.3 * y + 2.0 * phase)
+    b = 0.5 + 0.25 * np.sin(5.3 * x + phase) + 0.25 * np.cos(4.1 * y)
     return np.stack([r, g, b], axis=-1).astype(np.float32)
 
 
 class SyntheticScene:
-    """V cameras looking at the plane n·p = c from ~(0,0,0) along +z."""
+    """V cameras looking at the plane n·p = c from ~(0,0,0) along +z.
+
+    With ``num_objects > 0``, textured spheres float in front of the plane
+    (closed-form ray intersection), giving a multi-object benchmark with
+    occlusions and depth discontinuities — the strongest hermetic proxy for
+    the DTU accuracy evaluation (see tests/test_accuracy_gate.py).
+    """
 
     def __init__(
         self,
@@ -34,6 +40,7 @@ class SyntheticScene:
         plane_normal=(0.15, -0.1, 1.0),
         plane_offset: float = 6.0,
         seed: int = 0,
+        num_objects: int = 0,
     ):
         self.V, self.H, self.W = num_views, height, width
         n = np.asarray(plane_normal, dtype=np.float64)
@@ -44,6 +51,23 @@ class SyntheticScene:
             dtype=np.float64,
         )
         rng = np.random.RandomState(seed)
+        # Spheres parked between the cameras and the plane, inside the
+        # shared frustum (the plane sits ~plane_offset along +z).
+        self.spheres: list[tuple[np.ndarray, float]] = []
+        for i in range(num_objects):
+            z = plane_offset * rng.uniform(0.55, 0.8)
+            # keep centers within the view cone at depth z
+            half_w = 0.35 * z * (width / 2.0) / focal
+            half_h = 0.35 * z * (height / 2.0) / focal
+            center = np.array(
+                [
+                    rng.uniform(-half_w, half_w),
+                    rng.uniform(-half_h, half_h),
+                    z,
+                ]
+            )
+            radius = plane_offset * rng.uniform(0.06, 0.12)
+            self.spheres.append((center, radius))
         self.extrinsics = []
         for v in range(num_views):
             ang = 0.06 * (v - (num_views - 1) / 2)
@@ -82,9 +106,55 @@ class SyntheticScene:
         o_w = -Rinv @ t
         denom = d_w @ self.n
         depth = (self.c - o_w @ self.n) / np.maximum(denom, 1e-9)
+        obj_id = np.zeros(depth.shape, np.int32)  # 0 = plane
+        # Spheres: solve ||o + t·d − s||² = r² per pixel; t is camera
+        # z-depth because d_cam has unit z. Keep the nearest hit.
+        for i, (s, r) in enumerate(self.spheres):
+            oc = o_w - s
+            a = np.sum(d_w * d_w, axis=-1)
+            b = 2.0 * (d_w @ oc)
+            cq = oc @ oc - r * r
+            disc = b * b - 4.0 * a * cq
+            hit = disc > 0
+            tq = np.where(
+                hit, (-b - np.sqrt(np.maximum(disc, 0.0))) / (2.0 * a), np.inf
+            )
+            closer = hit & (tq > 1e-6) & (tq < depth)
+            depth = np.where(closer, tq, depth)
+            obj_id = np.where(closer, i + 1, obj_id)
         p_w = o_w[None, None] + depth[..., None] * d_w
         img = _texture(p_w[..., 0], p_w[..., 1])
+        for i, (s, r) in enumerate(self.spheres):
+            on = obj_id == i + 1
+            if on.any():
+                # Texture spheres in their local frame with a per-object
+                # phase so surfaces stay photo-consistent across views but
+                # distinct between objects.
+                local = p_w - s
+                tex = _texture(
+                    7.0 * local[..., 0] / r,
+                    7.0 * local[..., 1] / r,
+                    phase=1.7 * (i + 1),
+                )
+                img = np.where(on[..., None], tex, img)
         return img.astype(np.float32), depth.astype(np.float32)
+
+    def surface_points(self, stride: int = 1) -> np.ndarray:
+        """Exact surface samples: GT depths from every view unprojected to
+        world — the analytic analog of the DTU STL ground-truth cloud."""
+        pts = []
+        for v in range(self.V):
+            E = self.extrinsics[v]
+            R, t = E[:3, :3], E[:3, 3]
+            _, depth = self.render(v)
+            u, vv = np.meshgrid(np.arange(self.W), np.arange(self.H))
+            pix = np.stack([u, vv, np.ones_like(u)], axis=-1).astype(np.float64)
+            d_cam = pix @ np.linalg.inv(self.K).T
+            d_w = d_cam @ R  # R^T per row
+            o_w = -R.T @ t
+            p = o_w[None, None] + depth[..., None] * d_w
+            pts.append(p[::stride, ::stride].reshape(-1, 3))
+        return np.concatenate(pts, axis=0).astype(np.float32)
 
     def depth_range(self) -> tuple[float, float]:
         depths = [self.render(v)[1] for v in range(self.V)]
@@ -111,13 +181,20 @@ class SyntheticDataset:
         num_samples: int = 4,
         height: int = 64,
         width: int = 96,
+        num_objects: int = 0,
         **kwargs,
     ):
         self.nviews = nviews
         self.ndepths = ndepths
         self.num_samples = num_samples
         self.scenes = [
-            SyntheticScene(num_views=nviews, height=height, width=width, seed=i)
+            SyntheticScene(
+                num_views=nviews,
+                height=height,
+                width=width,
+                seed=i,
+                num_objects=num_objects,
+            )
             for i in range(num_samples)
         ]
 

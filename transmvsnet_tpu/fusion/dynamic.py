@@ -37,6 +37,13 @@ from transmvsnet_tpu.fusion.ply import write_ply
 class FusionParams:
     photo_threshold: float = 0.3
     thres_view: int = 3
+    # Vote-ladder threshold scales. The reference's i/4-px and i/1300
+    # relative-depth rungs (dynamic_fusion.py:134-136) are tuned to DTU's
+    # quantization (192 bins over ~510 mm → ~0.1% relative steps); scenes
+    # with coarser hypothesis grids (e.g. the synthetic benchmark) need the
+    # rungs widened proportionally. 1.0 = reference behavior.
+    dist_scale: float = 1.0
+    rel_diff_scale: float = 1.0
 
 
 def _read_fusion_cam(path: str, scale: float, index: int, flag: int):
@@ -96,7 +103,8 @@ def reproject_with_depth(
 
 
 def check_geometric_consistency(
-    depth_ref, intr_ref, extr_ref, depth_src, intr_src, extr_src
+    depth_ref, intr_ref, extr_ref, depth_src, intr_src, extr_src,
+    dist_scale: float = 1.0, rel_diff_scale: float = 1.0,
 ):
     """Dynamic threshold ladder. Returns (masks list for i=2..10, base mask
     (i=10 rung), depth_reprojected zeroed where inconsistent)."""
@@ -112,7 +120,9 @@ def check_geometric_consistency(
     masks = []
     mask = None
     for i in range(2, 11):
-        mask = np.logical_and(dist < i / 4, relative < i / 1300)
+        mask = np.logical_and(
+            dist < dist_scale * i / 4, relative < rel_diff_scale * i / 1300
+        )
         masks.append(mask)
     depth_reproj = depth_reproj.copy()
     depth_reproj[~mask] = 0
@@ -211,7 +221,9 @@ def fuse_scan(
                 flag,
             )
             masks, geo_mask, depth_reproj = check_geometric_consistency(
-                ref_depth, intr_ref, extr_ref, src_depth, intr_src, extr_src
+                ref_depth, intr_ref, extr_ref, src_depth, intr_src, extr_src,
+                dist_scale=params.dist_scale,
+                rel_diff_scale=params.rel_diff_scale,
             )
             for i in range(2, n):
                 ladder_sums[i - 2] += masks[i - 2].astype(np.int32)

@@ -16,8 +16,20 @@ def parse_args(argv=None):
     p.add_argument("--testpath", required=True, help="per-scan outputs root")
     p.add_argument("--testlist", required=True)
     p.add_argument("--outdir", required=True)
-    p.add_argument("--photo_threshold", type=float, default=0.3)
+    p.add_argument(
+        "--filter_method",
+        default="dynamic",
+        choices=["dynamic", "native"],
+        help="dynamic = Python vote-ladder fuser (reference "
+        "dynamic_fusion.py); native = the C++ tpu_fuser binary "
+        "(the fusibile role, reference test.py --filter_method/gipuma.py)",
+    )
+    p.add_argument("--photo_threshold", type=float, default=None)
     p.add_argument("--thres_view", type=int, default=3)
+    p.add_argument("--dist_scale", type=float, default=1.0)
+    p.add_argument("--rel_diff_scale", type=float, default=1.0)
+    p.add_argument("--disp_threshold", type=float, default=0.25)
+    p.add_argument("--num_consistent", type=int, default=3)
     p.add_argument("--test_dataset", default="dtu", choices=["dtu", "tnt"])
     p.add_argument("--num_workers", type=int, default=8)
     return p.parse_args(argv)
@@ -27,18 +39,37 @@ def main(argv=None):
     args = parse_args(argv)
     with open(args.testlist) as f:
         scans = [line.rstrip() for line in f if line.strip()]
-    # TnT default threshold if unset explicitly (reference scripts/test_tnt.sh:30).
-    params = FusionParams(
-        photo_threshold=args.photo_threshold, thres_view=args.thres_view
-    )
-    outputs = fuse_scans(
-        args.testpath,
-        scans,
-        args.outdir,
-        params,
-        dataset=args.test_dataset,
-        num_workers=args.num_workers,
-    )
+    if args.filter_method == "native":
+        from transmvsnet_tpu.fusion.native import native_fuse_scans
+
+        outputs = native_fuse_scans(
+            args.testpath,
+            scans,
+            args.outdir,
+            disp_threshold=args.disp_threshold,
+            num_consistent=args.num_consistent,
+            dataset=args.test_dataset,
+        )
+    else:
+        # Per-dataset confidence default: 0.3 DTU / 0.18 TnT
+        # (reference dynamic_fusion.py:182, scripts/test_tnt.sh:30).
+        photo = args.photo_threshold
+        if photo is None:
+            photo = 0.18 if args.test_dataset == "tnt" else 0.3
+        params = FusionParams(
+            photo_threshold=photo,
+            thres_view=args.thres_view,
+            dist_scale=args.dist_scale,
+            rel_diff_scale=args.rel_diff_scale,
+        )
+        outputs = fuse_scans(
+            args.testpath,
+            scans,
+            args.outdir,
+            params,
+            dataset=args.test_dataset,
+            num_workers=args.num_workers,
+        )
     for o in outputs:
         print("wrote", o)
 

@@ -51,6 +51,18 @@ def parse_args(argv=None):
         action="store_true",
         help="disable the Pallas TPU kernels (XLA fallback)",
     )
+    p.add_argument(
+        "--inverse_depth",
+        action="store_true",
+        help="TnT: sample hypotheses uniformly in inverse depth "
+        "(reference datasets/tnt_eval.py:174-182)",
+    )
+    p.add_argument(
+        "--bucket_hw",
+        default="",
+        help="TnT: force one 'H,W' resolution bucket for all scenes "
+        "(default: per-scene native sizes, at most two compiled shapes)",
+    )
     return p.parse_args(argv)
 
 
@@ -84,6 +96,11 @@ def main(argv=None):
     )
     if args.dataset in ("general_eval", "dtu_eval"):
         kwargs.update(max_h=args.max_h, max_w=args.max_w)
+    if args.dataset == "tnt":
+        kwargs.update(inverse_depth=args.inverse_depth)
+        if args.bucket_hw:
+            h, w = (int(x) for x in args.bucket_hw.split(","))
+            kwargs.update(bucket_hw=(h, w))
     dataset = cls(**kwargs)
     loader = ShardedLoader(dataset, args.batch_size, num_workers=2)
 
