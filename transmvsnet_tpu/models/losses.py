@@ -75,15 +75,20 @@ def cascade_loss(
     depth_gt_ms: Mapping[str, jax.Array],
     mask_ms: Mapping[str, jax.Array],
     dlossw: Sequence[float] | None = (1.0, 1.0, 1.0),
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, dict[str, jax.Array]]:
     """Per-stage weighted entropy loss (reference models/module.py:534-558).
 
-    Returns (total_loss, depth_loss, total_entropy, last_stage_wta_depth).
+    Returns (total_loss, depth_loss, total_entropy, last_stage_wta_depth,
+    per_stage_scalars). ``depth_loss`` is the LAST stage's smooth-L1 —
+    faithful to the reference, which overwrites it per stage; the per-stage
+    values are in ``per_stage_scalars`` (the reference logs these via
+    scalar_outputs, train.py:152-160).
     """
     total_loss = 0.0
     total_entropy = 0.0
     depth_loss = 0.0
     wta = None
+    per_stage: dict[str, jax.Array] = {}
     stage_keys = sorted(k for k in outputs.keys() if k.startswith("stage"))
     for key in stage_keys:
         stage = outputs[key]
@@ -93,12 +98,14 @@ def cascade_loss(
         entro = entro * 2.0
         depth_loss = _masked_mean(smooth_l1(wta, gt), mask)
         total_entropy = total_entropy + entro
+        per_stage[f"entropy_{key}"] = entro
+        per_stage[f"depth_loss_{key}"] = depth_loss
         if dlossw is not None:
             idx = int(key.replace("stage", "")) - 1
             total_loss = total_loss + dlossw[idx] * entro
         else:
             total_loss = total_loss + entro
-    return total_loss, depth_loss, total_entropy, wta
+    return total_loss, depth_loss, total_entropy, wta, per_stage
 
 
 def bld_loss(
@@ -113,7 +120,7 @@ def bld_loss(
 
     depth_interval: [B] per-sample hypothesis spacing.
     """
-    total_loss, depth_loss, _, _ = cascade_loss(
+    total_loss, depth_loss, _, _, _ = cascade_loss(
         outputs, depth_gt_ms, mask_ms, dlossw
     )
     last = f"stage{len([k for k in outputs if k.startswith('stage')])}"

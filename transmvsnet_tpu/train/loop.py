@@ -19,17 +19,24 @@ import numpy as np
 
 
 class DictMeter:
+    """Running sums of scalar outputs.
+
+    Accumulates device arrays lazily (an on-device add per step) so the
+    loop never blocks on a per-step device→host fetch; values are only
+    materialized at ``mean()``.
+    """
+
     def __init__(self):
-        self.data: dict[str, float] = {}
+        self.data: dict[str, Any] = {}
         self.count = 0
 
     def update(self, scalars: dict[str, Any]) -> None:
         self.count += 1
         for k, v in scalars.items():
-            self.data[k] = self.data.get(k, 0.0) + float(v)
+            self.data[k] = self.data.get(k, 0.0) + v
 
     def mean(self) -> dict[str, float]:
-        return {k: v / max(self.count, 1) for k, v in self.data.items()}
+        return {k: float(v) / max(self.count, 1) for k, v in self.data.items()}
 
 
 class MetricsLogger:
@@ -89,6 +96,7 @@ def run_epoch(
     """One pass over the loader. Returns (state, epoch-mean scalars)."""
     meter = DictMeter()
     t_last = time.time()
+    i_last = -1
     for i, raw in enumerate(loader):
         batch = to_device_batch(
             {
@@ -109,14 +117,31 @@ def run_epoch(
             state, scalars = step_fn(state, batch)
         else:
             scalars = step_fn(state, batch)
-        scalars = {k: float(v) for k, v in scalars.items()}
+        # "_"-prefixed outputs are image-sized tensors for summaries; they
+        # are only fetched (device sync) at log_freq boundaries.
+        images = {k: scalars.pop(k) for k in list(scalars) if k.startswith("_")}
         meter.update(scalars)
         if logger and (i % log_freq == 0):
-            dt = time.time() - t_last
-            t_last = time.time()
+            now = time.time()
+            step_no = int(state.step) if train else epoch
             logger.log(
                 mode,
-                {**scalars, "sec_per_iter": dt / max(log_freq, 1)},
-                int(state.step) if train else epoch,
+                {
+                    **{k: float(v) for k, v in scalars.items()},
+                    "sec_per_iter": (now - t_last) / max(i - i_last, 1),
+                },
+                step_no,
             )
+            t_last = time.time()
+            i_last = i
+            if images:
+                from transmvsnet_tpu.utils_vis import log_depth_images
+
+                outputs = {
+                    "stage3": {
+                        "depth": images["_depth_est"],
+                        "photo_confidence": images["_confidence"],
+                    }
+                }
+                log_depth_images(logger, mode, outputs, batch, step_no)
     return state, meter.mean()

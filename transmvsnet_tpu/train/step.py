@@ -75,13 +75,17 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
-            loss, depth_loss, total_entropy, wta = cascade_loss(
+            loss, depth_loss, total_entropy, wta, per_stage = cascade_loss(
                 outputs, batch["depth"], batch["mask"], dlossw
             )
             extra = _bld_metrics(outputs, batch) if bld_metrics else {}
-            return loss, (updates["batch_stats"], depth_loss, total_entropy, wta, extra)
+            extra = {**per_stage, **extra}
+            conf = outputs["stage3"]["photo_confidence"]
+            return loss, (
+                updates["batch_stats"], depth_loss, total_entropy, wta, conf, extra,
+            )
 
-        (loss, (new_bs, depth_loss, total_entropy, wta, extra)), grads = (
+        (loss, (new_bs, depth_loss, total_entropy, wta, conf, extra)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         )
 
@@ -109,6 +113,10 @@ def make_train_step(
             "skipped_nan": (~finite).astype(jnp.float32),
             **standard_eval_metrics(wta, batch["depth"]["stage3"], mask3),
             **extra,
+            # Image-sized tensors for TB summaries; the loop strips the "_"
+            # keys before metric averaging and only fetches them at log_freq.
+            "_depth_est": wta,
+            "_confidence": conf,
         }
         return new_state, scalars
 
@@ -128,11 +136,12 @@ def make_eval_step(
             batch["depth_values"],
             train=False,
         )
-        loss, depth_loss, total_entropy, wta = cascade_loss(
+        loss, depth_loss, total_entropy, wta, per_stage = cascade_loss(
             outputs, batch["depth"], batch["mask"], dlossw
         )
         mask3 = batch["mask"]["stage3"] > 0.5
         extra = _bld_metrics(outputs, batch) if bld_metrics else {}
+        extra = {**per_stage, **extra}
         return {
             "loss": loss,
             "depth_loss": depth_loss,
@@ -141,6 +150,8 @@ def make_eval_step(
                 outputs["stage3"]["depth"], batch["depth"]["stage3"], mask3
             ),
             **extra,
+            "_depth_est": outputs["stage3"]["depth"],
+            "_confidence": outputs["stage3"]["photo_confidence"],
         }
 
     return eval_step
