@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--no_remat", action="store_true")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--iters", type=int, default=4)
@@ -44,7 +45,11 @@ def main():
 
     B, V, H, W = args.batch, 5, 512, 640
     model = TransMVSNet(
-        ModelConfig(use_pallas=not args.no_pallas, compute_dtype=args.dtype)
+        ModelConfig(
+            use_pallas=not args.no_pallas,
+            compute_dtype=args.dtype,
+            remat=not args.no_remat,
+        )
     )
     imgs, projs, dv = _example_inputs(B=B, V=V, H=H, W=W, num_hyp=192)
     rng = np.random.RandomState(0)

@@ -41,6 +41,13 @@ class ModelConfig:
     # XLA reference path around the saved inputs (ops/pallas/vjp.py), so
     # training may enable this too.
     use_pallas: bool = False
+    # Rematerialize FeatureNet/FMT/CostRegNet/PixelwiseNet activations in
+    # the backward pass (jax.checkpoint via nn.remat). Required to fit the
+    # DTU training recipe (512x640, B=2, 5 views) in one chip's 16 GB HBM:
+    # without it the backward keeps ~200 MB DCN temps per FeatureNet layer
+    # for all B*V=10 images and the step OOMs. Trades ~one extra forward
+    # of FLOPs for O(stage-output) residual memory; inference ignores it.
+    remat: bool = False
     # Run the Pallas kernels in interpret mode off-TPU (slow; testing only).
     # With use_pallas=True on a non-TPU backend this keeps the kernel code
     # path live — e.g. the multichip dryrun proves kernels × GSPMD compose.

@@ -14,8 +14,18 @@ from typing import Any
 import numpy as np
 
 
-def _texture(x: np.ndarray, y: np.ndarray, phase: float = 0.0) -> np.ndarray:
-    """Smooth, high-frequency-ish RGB texture over world coordinates."""
+def _texture(
+    x: np.ndarray, y: np.ndarray, phase: float = 0.0, freq: float = 1.0
+) -> np.ndarray:
+    """Smooth, high-frequency-ish RGB texture over world coordinates.
+
+    ``freq`` scales the spatial frequencies: higher values sharpen the
+    photometric correlation peak (easier sub-pixel matching) at the cost
+    of aliasing risk at coarse pyramid levels — keep the shortest
+    wavelength above the stage-1 pixel footprint.
+    """
+    x = freq * x
+    y = freq * y
     r = 0.5 + 0.5 * np.sin(3.1 * x + phase) * np.cos(2.7 * y)
     g = 0.5 + 0.5 * np.sin(1.7 * x + 2.3 * y + 2.0 * phase)
     b = 0.5 + 0.25 * np.sin(5.3 * x + phase) + 0.25 * np.cos(4.1 * y)
@@ -41,7 +51,15 @@ class SyntheticScene:
         plane_offset: float = 6.0,
         seed: int = 0,
         num_objects: int = 0,
+        baseline: float = 0.4,
+        tex_freq: float = 1.0,
     ):
+        """``baseline`` is the per-view camera-center spacing. Depth
+        sensitivity is f*B/z^2 pixels of disparity per unit depth — at the
+        defaults (f=120, B=0.4, z~6) that is ~1.3 px/unit, so sub-pixel
+        matching noise caps depth accuracy at ~0.3-0.5 units; widen the
+        ring (baseline 1.0 -> 3.3 px/unit) for accuracy-sensitive
+        benchmarks like the gate in tests/test_accuracy_gate.py."""
         self.V, self.H, self.W = num_views, height, width
         n = np.asarray(plane_normal, dtype=np.float64)
         self.n = n / np.linalg.norm(n)
@@ -69,8 +87,11 @@ class SyntheticScene:
             radius = plane_offset * rng.uniform(0.06, 0.12)
             self.spheres.append((center, radius))
         self.extrinsics = []
+        self.tex_freq = tex_freq
         for v in range(num_views):
-            ang = 0.06 * (v - (num_views - 1) / 2)
+            # Keep the ring convergent: rotation tracks translation so the
+            # plane stays centered in every frustum (ratio 0.15 rad/unit).
+            ang = 0.15 * baseline * (v - (num_views - 1) / 2)
             tilt = 0.03 * rng.randn()
             Ry = np.array(
                 [
@@ -87,7 +108,9 @@ class SyntheticScene:
                 ]
             )
             R = Ry @ Rx
-            t = np.array([0.4 * (v - (num_views - 1) / 2), 0.05 * rng.randn(), 0.0])
+            t = np.array(
+                [baseline * (v - (num_views - 1) / 2), 0.05 * rng.randn(), 0.0]
+            )
             E = np.eye(4)
             E[:3, :3] = R
             E[:3, 3] = t
@@ -123,7 +146,7 @@ class SyntheticScene:
             depth = np.where(closer, tq, depth)
             obj_id = np.where(closer, i + 1, obj_id)
         p_w = o_w[None, None] + depth[..., None] * d_w
-        img = _texture(p_w[..., 0], p_w[..., 1])
+        img = _texture(p_w[..., 0], p_w[..., 1], freq=self.tex_freq)
         for i, (s, r) in enumerate(self.spheres):
             on = obj_id == i + 1
             if on.any():
@@ -135,6 +158,7 @@ class SyntheticScene:
                     7.0 * local[..., 0] / r,
                     7.0 * local[..., 1] / r,
                     phase=1.7 * (i + 1),
+                    freq=self.tex_freq,
                 )
                 img = np.where(on[..., None], tex, img)
         return img.astype(np.float32), depth.astype(np.float32)
@@ -182,6 +206,8 @@ class SyntheticDataset:
         height: int = 64,
         width: int = 96,
         num_objects: int = 0,
+        baseline: float = 0.4,
+        tex_freq: float = 1.0,
         **kwargs,
     ):
         self.nviews = nviews
@@ -194,6 +220,8 @@ class SyntheticDataset:
                 width=width,
                 seed=i,
                 num_objects=num_objects,
+                baseline=baseline,
+                tex_freq=tex_freq,
             )
             for i in range(num_samples)
         ]

@@ -62,20 +62,28 @@ class TransMVSNet(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.feature = FeatureNet(
+        feat_cls, fmt_cls, pw_cls = FeatureNet, FMTWithPathway, PixelwiseNet
+        cost_reg_cls = CostRegNetDense if cfg.dense_cost_reg else CostRegNet
+        if cfg.remat:
+            # Checkpoint at module granularity: only module outputs stay
+            # live between forward and backward ('train' is a static arg).
+            feat_cls = nn.remat(FeatureNet, static_argnums=(2,))
+            fmt_cls = nn.remat(FMTWithPathway)
+            pw_cls = nn.remat(PixelwiseNet, static_argnums=(2,))
+            cost_reg_cls = nn.remat(cost_reg_cls, static_argnums=(2,))
+        self.feature = feat_cls(
             cfg.base_channels,
             use_pallas=cfg.use_pallas,
             pallas_interpret=cfg.pallas_interpret,
         )
-        self.fmt = FMTWithPathway(
+        self.fmt = fmt_cls(
             base_channels=cfg.base_channels,
             d_model=cfg.fmt_d_model,
             n_heads=cfg.fmt_nhead,
             layer_names=tuple(cfg.fmt_layers),
         )
-        cost_reg_cls = CostRegNetDense if cfg.dense_cost_reg else CostRegNet
         self.cost_regs = [cost_reg_cls(c) for c in cfg.cr_base_channels]
-        self.pixel_wise_net = PixelwiseNet()
+        self.pixel_wise_net = pw_cls()
 
     def extract_features(self, imgs: jax.Array, train: bool) -> dict[str, jax.Array]:
         """imgs [B, V, H, W, 3] -> per-stage features [B, V, h, w, C]."""

@@ -91,6 +91,12 @@ def parse_args(argv=None):
         choices=["float32", "bfloat16"],
         help="activation compute dtype (geometry/losses stay f32)",
     )
+    p.add_argument(
+        "--no_remat",
+        action="store_true",
+        help="disable activation rematerialization in the backward pass "
+        "(on by default: the DTU recipe shape does not fit HBM without it)",
+    )
     return p.parse_args(argv)
 
 
@@ -129,6 +135,7 @@ def main(argv=None):
         depth_interval_ratios=ratios,
         use_pallas=not args.no_pallas,
         compute_dtype=args.dtype,
+        remat=not args.no_remat,
     )
     model = TransMVSNet(model_cfg)
 
