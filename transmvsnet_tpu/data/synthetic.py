@@ -242,7 +242,13 @@ class SyntheticDataset:
         for v in range(scene.V):
             pair = np.zeros((2, 4, 4), dtype=np.float32)
             pair[0] = scene.extrinsics[v]
-            pair[1, :3, :3] = scene.K / 4.0  # stage-1 intrinsics convention
+            # Stage-1 intrinsics convention: pixel rows scaled to 1/4
+            # resolution, homogeneous row untouched (K[2,2] stays 1 — the
+            # read_cam_file contract; dividing the whole 3x3 would silently
+            # rescale the projective translation and de-calibrate the scene
+            # against cam files written by materialize()).
+            pair[1, :3, :3] = scene.K
+            pair[1, :2, :] /= 4.0
             pairs.append(pair)
         proj = np.stack(pairs)
         stages = {"stage1": proj}

@@ -4,8 +4,10 @@ Re-implements the reference losses (reference models/module.py:495-592):
 ``entropy_loss`` builds the ground-truth depth-bin index (nearest hypothesis),
 masks invalid pixels, and averages -log p[gt-bin] per valid pixel;
 ``cascade_loss`` (reference ``trans_mvsnet_loss``) applies it per stage with
-entropy weight 2.0 and per-stage dlossw weights; ``bld_loss`` (reference
-``focal_loss_bld``) adds the EPE / <1px / <3px finetune metrics.
+entropy weight 2.0 and per-stage dlossw weights. The BlendedMVS finetune
+variant (reference ``focal_loss_bld``, models/module.py:561-592) shares the
+same CE core; its extra EPE / <1px / <3px metrics live in
+``train/step.py:_bld_metrics`` next to the step that logs them.
 
 All functions are jit-friendly: boolean-mask indexing is replaced by
 where/sum reductions.
@@ -108,27 +110,3 @@ def cascade_loss(
     return total_loss, depth_loss, total_entropy, wta, per_stage
 
 
-def bld_loss(
-    outputs: Mapping[str, Any],
-    depth_gt_ms: Mapping[str, jax.Array],
-    mask_ms: Mapping[str, jax.Array],
-    depth_interval: jax.Array,
-    dlossw: Sequence[float] | None = (1.0, 1.0, 1.0),
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """BlendedMVS finetune loss + EPE/<1px/<3px metrics
-    (reference models/module.py:561-592).
-
-    depth_interval: [B] per-sample hypothesis spacing.
-    """
-    total_loss, depth_loss, _, _, _ = cascade_loss(
-        outputs, depth_gt_ms, mask_ms, dlossw
-    )
-    last = f"stage{len([k for k in outputs if k.startswith('stage')])}"
-    gt = depth_gt_ms[last]
-    mask = mask_ms[last] > 0.5
-    scale = (depth_interval * (192.0 / 128.0)).reshape(-1, 1, 1)
-    abs_err_scaled = jnp.abs(gt - outputs[last]["depth"]) / scale
-    epe = _masked_mean(abs_err_scaled, mask)
-    less1 = _masked_mean((abs_err_scaled < 1.0).astype(jnp.float32), mask)
-    less3 = _masked_mean((abs_err_scaled < 3.0).astype(jnp.float32), mask)
-    return total_loss, depth_loss, epe, less1, less3

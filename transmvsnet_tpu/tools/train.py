@@ -42,7 +42,14 @@ from transmvsnet_tpu.train.step import (
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="TransMVSNet-TPU training")
-    p.add_argument("--mode", default="train", choices=["train", "profile"])
+    p.add_argument(
+        "--mode",
+        default="train",
+        choices=["train", "profile"],
+        help="profile: run the jitted train step under jax.profiler and "
+        "export a trace to <logdir>/traces (reference train.py:243-271), "
+        "instead of training",
+    )
     p.add_argument("--dataset", default="dtu")
     p.add_argument("--datapath", default="")
     p.add_argument("--trainlist", default="")
@@ -92,6 +99,14 @@ def parse_args(argv=None):
         help="activation compute dtype (geometry/losses stay f32)",
     )
     p.add_argument(
+        "--platform",
+        default="",
+        help="force a JAX platform (e.g. 'cpu') before device init; this "
+        "image's sitecustomize force-registers the TPU plugin over "
+        "JAX_PLATFORMS, so multi-process CPU launches need the explicit "
+        "config override",
+    )
+    p.add_argument(
         "--no_remat",
         action="store_true",
         help="disable activation rematerialization in the backward pass "
@@ -117,6 +132,23 @@ def build_dataset(args, split: str):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.mode == "profile":
+        # The reference's --mode=profile (train.py:243-271): delegate to the
+        # jax.profiler CLI with the training-recipe shape and this run's
+        # cascade config; the trace lands under the run's logdir.
+        from transmvsnet_tpu.tools import profile as profile_tool
+
+        return profile_tool.main(
+            [
+                "--logdir", os.path.join(args.logdir, "traces"),
+                "--train",
+                "--batch_size", str(args.batch_size),
+                "--nviews", str(args.nviews),
+                "--ndepths", args.ndepths,
+            ]
+        )
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.distributed:
         from transmvsnet_tpu.parallel.mesh import initialize_distributed
 
