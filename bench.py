@@ -4,10 +4,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: depth-maps/s at the reference's DTU eval setting (1152x864, 5
 views, 48/32/8 cascade, batch 1) on the available accelerator. The
-reference publishes no throughput number (BASELINE.md), so vs_baseline is
-reported against a measured-once 2080Ti-equivalent estimate of ~1.1
-depth-maps/s derived from the reference's per-batch wall-time printout
-contract (reference test.py:115-116).
+reference publishes no throughput number (BASELINE.md; its test loop only
+prints per-batch wall time, reference test.py:115-116), so vs_baseline
+uses a derived 2080Ti-equivalent estimate:
+
+  XLA cost analysis counts 1.296 TFLOP per depth map at this setting
+  (probes/flops_mfu.py, 2026-08-21; the Pallas kernels are opaque to the
+  counter, so this is the algorithmic convolution/matmul work). A
+  perfectly-utilized 2080Ti (13.45 TFLOP/s fp32) would therefore reach
+  13.45/1.296 = 10.4 maps/s. Torch pipelines on this op mix (serial
+  per-view grid_sample loops, C<=64 convs, deform_conv2d) typically
+  realize ~10% of peak, giving ~1.0-1.1 maps/s — consistent with the
+  once-measured estimate this constant started as. Full derivation and
+  the measured v5e MFU: PERFORMANCE.md "Roofline and baseline".
 """
 
 from __future__ import annotations

@@ -132,34 +132,56 @@ def main():
                 "--max_h", "64", "--max_w", "96", "--ndepths", "16,8,8",
             ]
         )
-        plydir = os.path.join(tmp, "plys")
-        fuse.main(
+        from transmvsnet_tpu.data.pfm import read_pfm
+
+        confs = np.stack(
             [
-                "--testpath", outdir, "--testlist", listfile,
-                "--outdir", plydir, "--test_dataset", "dtu",
-                "--photo_threshold", "0.3", "--thres_view", "2",
-                "--dist_scale", "2", "--rel_diff_scale", "8",
-                "--num_workers", "1",
+                read_pfm(
+                    os.path.join(outdir, f"scan1/confidence/{v:0>8}.pfm")
+                )[0]
+                for v in range(5)
             ]
+        )
+        print(
+            "confidence quantiles:",
+            {q: round(float(np.quantile(confs, q)), 4) for q in (0.1, 0.5, 0.9)},
+            "frac>thresh:",
+            round(float((confs > float(os.environ.get("GATE_PHOTO", "0.1"))).mean()), 3),
         )
         gt_root = os.path.join(tmp, "gt")
         materialize_gt(gt_root, scene, scan_id=1)
-        result = evaluate_dtu(plydir, gt_root, scan_ids=[1])
-        print(
-            json.dumps(
-                {
-                    "seed": seed,
-                    "epochs": epochs,
-                    "overall": result["overall"],
-                    "acc": result["acc_mean"],
-                    "comp": result["comp_mean"],
-                    "direct_err_median": float(np.median(err)),
-                    "wall_s": round(time.time() - t_start, 1),
-                }
+        for photo in ("0.1", "0.3", "0.5"):
+            plydir = os.path.join(tmp, f"plys_{photo}")
+            fuse.main(
+                [
+                    "--testpath", outdir, "--testlist", listfile,
+                    "--outdir", plydir, "--test_dataset", "dtu",
+                    "--photo_threshold", photo,
+                    "--thres_view", "2",
+                    "--dist_scale", "2", "--rel_diff_scale", "8",
+                    "--num_workers", "1",
+                ]
             )
-        )
+            result = evaluate_dtu(plydir, gt_root, scan_ids=[1])
+            print(
+                json.dumps(
+                    {
+                        "seed": seed,
+                        "epochs": epochs,
+                        "photo": photo,
+                        "overall": result["overall"],
+                        "acc": result["acc_mean"],
+                        "comp": result["comp_mean"],
+                        "direct_err_median": float(np.median(err)),
+                        "wall_s": round(time.time() - t_start, 1),
+                    }
+                )
+            )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if os.environ.get("GATE_KEEP"):
+            print("kept artifacts:", tmp)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

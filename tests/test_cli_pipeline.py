@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute CLI chains; run explicitly or in the full suite
+
 from transmvsnet_tpu.data.synthetic import SyntheticDataset
 
 

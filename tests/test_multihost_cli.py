@@ -16,6 +16,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute CLI chains; run explicitly or in the full suite
+
 
 def _free_port() -> int:
     with socket.socket() as s:

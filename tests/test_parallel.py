@@ -74,6 +74,7 @@ class TestConstrain:
 
 
 class TestDryrunMultichip:
+    @pytest.mark.slow
     def test_dryrun_8(self, capsys):
         import __graft_entry__
 
@@ -81,6 +82,7 @@ class TestDryrunMultichip:
         out = capsys.readouterr().out
         assert "dryrun_multichip OK" in out
 
+    @pytest.mark.slow
     def test_dryrun_2(self, capsys):
         import __graft_entry__
 

@@ -71,6 +71,7 @@ class TestSeqParallelFMT:
 
 
 class TestShardedModelEquivalence:
+    @pytest.mark.slow
     def test_full_forward_sharded_matches_unsharded(self):
         """Full model forward on a (data=2, view=2, depth=2) mesh equals the
         single-device result (VERDICT weak #2)."""

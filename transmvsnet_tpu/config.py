@@ -42,11 +42,13 @@ class ModelConfig:
     # training may enable this too.
     use_pallas: bool = False
     # Rematerialize FeatureNet/FMT/CostRegNet/PixelwiseNet activations in
-    # the backward pass (jax.checkpoint via nn.remat). Required to fit the
-    # DTU training recipe (512x640, B=2, 5 views) in one chip's 16 GB HBM:
-    # without it the backward keeps ~200 MB DCN temps per FeatureNet layer
-    # for all B*V=10 images and the step OOMs. Trades ~one extra forward
-    # of FLOPs for O(stage-output) residual memory; inference ignores it.
+    # the backward pass (jax.checkpoint via nn.remat). Measured at the DTU
+    # recipe shape (512x640, 5 views, bf16, Pallas fwd) on one v5e chip:
+    # B=1 fits either way (9.04 s/step remat vs 8.87 s/step without, ~2%
+    # remat overhead); B=2 exceeds 16 GB HBM even WITH remat (19.3 GB —
+    # XLA assigns batch-minor lane-padded layouts to the backward convs).
+    # The B=2 recipe therefore needs ≥2 chips (data-parallel) or native
+    # backward kernels; see PERFORMANCE.md "Training performance".
     remat: bool = False
     # Run the Pallas kernels in interpret mode off-TPU (slow; testing only).
     # With use_pallas=True on a non-TPU backend this keeps the kernel code

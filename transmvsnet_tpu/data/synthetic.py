@@ -89,9 +89,14 @@ class SyntheticScene:
         self.extrinsics = []
         self.tex_freq = tex_freq
         for v in range(num_views):
-            # Keep the ring convergent: rotation tracks translation so the
-            # plane stays centered in every frustum (ratio 0.15 rad/unit).
-            ang = 0.15 * baseline * (v - (num_views - 1) / 2)
+            # Keep the ring convergent: the camera center is -R^T t, so a
+            # camera with extrinsic translation +t sits at -t and must yaw
+            # by -ang ≈ -t/plane_offset to keep the plane centered (with
+            # +ang the ring DIVERGES: the rotation doubles the image shift
+            # instead of cancelling it — measured as neighbor views sharing
+            # only ~35% of their frusta, which starved fusion of ≥2-view
+            # votes on every synthetic benchmark until round 3).
+            ang = -baseline * (v - (num_views - 1) / 2) / plane_offset
             tilt = 0.03 * rng.randn()
             Ry = np.array(
                 [

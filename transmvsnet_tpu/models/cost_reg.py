@@ -268,21 +268,102 @@ class CostRegNetDense(nn.Module):
         return y.transpose(0, 3, 1, 2)[..., None]
 
 
-class PixelwiseNet(nn.Module):
-    """Per-source-view visibility weight from the similarity volume.
+class _CFConv1x1(nn.Module):
+    """1×1×1 conv applied in a channels-first [B, C, N] layout.
 
-    [B, D, H, W, 1] -> [B, H, W, 1] via 1×1×1 convs, sigmoid, max over D.
+    Parameter names/shapes match ConvND (kernel [1,1,1,I,O], optional bias)
+    so checkpoints and the torch converter are unaffected; only the compute
+    layout changes: the huge N = D·H·W axis rides the 128-lane dimension
+    and the tiny channel count stays on sublanes. Running these as real 3-D
+    convs lets XLA pad C∈{1,8,16} to 128 lanes — measured 8-16× HBM
+    blowup (4 × 3.75 GB temps) that OOMs the 512×640 train step (see
+    PERFORMANCE.md "Training performance").
     """
 
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from transmvsnet_tpu.models.blocks import torch_bias_init, torch_kernel_init
+
+        in_ch = x.shape[1]
+        kernel = self.param(
+            "kernel", torch_kernel_init, (1, 1, 1, in_ch, self.features)
+        )
+        w = kernel[0, 0, 0].astype(x.dtype)  # [I, O]
+        y = jnp.einsum("io,bin->bon", w, x)
+        if self.use_bias:
+            b = self.param("bias", torch_bias_init(in_ch), (self.features,))
+            y = y + b.astype(y.dtype)[:, None]
+        return y
+
+
+class _CFBatchNorm(nn.Module):
+    """blocks.BatchNorm semantics on the channels-first [B, C, N] layout
+    (identical param/batch_stats tree; stats reduce over B and N)."""
+
+    features: int
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        C = self.features
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((C,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((C,)))
+
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 2))
+            mean_sq = jnp.mean(jnp.square(xf), axis=(0, 2))
+            n = float(x.shape[0] * x.shape[2])
+            var = mean_sq - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean[:, None]) * inv[:, None] + bias[
+            :, None
+        ]
+        return y.astype(x.dtype)
+
+
+class _CFConvBnReLU(nn.Module):
+    """ConvBnReLU(kernel 1, ndim 3) in the channels-first layout; submodule
+    names ("conv", "bn") match ConvBnReLU for tree compatibility."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = _CFConv1x1(self.features, use_bias=False, name="conv")(x)
+        x = _CFBatchNorm(self.features, name="bn")(x, train)
+        return nn.relu(x)
+
+
+class PixelwiseNet(nn.Module):
+    """Per-source-view visibility weight from the similarity volume
+    (reference models/TransMVSNet.py:10-30).
+
+    [B, D, H, W, 1] -> [B, H, W, 1] via 1×1×1 convs, sigmoid, max over D.
+    The pointwise MLP runs channels-first (see _CFConv1x1) — same math and
+    parameter tree as the naive Conv3D stack, TPU-safe layouts.
+    """
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = ConvBnReLU(
-            16, kernel_size=1, padding=0, ndim=3, name="conv0"
-        )(x, train)
-        x = ConvBnReLU(
-            8, kernel_size=1, padding=0, ndim=3, name="conv1"
-        )(x, train)
-        x = ConvND(1, 1, padding=0, ndim=3, name="conv2")(x)
-        x = jax.nn.sigmoid(x)
-        return jnp.max(x, axis=1)  # over D
+        B, D, H, W, C_in = x.shape
+        xcf = x.reshape(B, D * H * W, C_in).transpose(0, 2, 1)  # [B, C, N]
+        y = _CFConvBnReLU(16, name="conv0")(xcf, train)
+        y = _CFConvBnReLU(8, name="conv1")(y, train)
+        y = _CFConv1x1(1, name="conv2")(y)
+        y = jax.nn.sigmoid(y)  # [B, 1, N]
+        return jnp.max(y.reshape(B, D, H, W), axis=1)[..., None]
