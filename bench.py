@@ -1,12 +1,19 @@
-"""Benchmark: depth-map inference throughput on the flagship config.
+"""Benchmark: depth-map inference + training throughput, flagship config.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+training-side keys ("train_step_ms_512x640_b1", "train_maps_per_s") from
+one jitted train step at the DTU recipe shape (512x640, 5 views, batch 1,
+bf16, native Pallas VJP kernels) timed by dependency-chained dispatches —
+the in-graph fori_loop harness crashes the TPU worker on graphs this
+large (PERFORMANCE.md "Measurement rules"). The reference's only
+published training timing is per-iteration wall clock (reference
+train.py:75-80).
 
-Metric: depth-maps/s at the reference's DTU eval setting (1152x864, 5
-views, 48/32/8 cascade, batch 1) on the available accelerator. The
-reference publishes no throughput number (BASELINE.md; its test loop only
-prints per-batch wall time, reference test.py:115-116), so vs_baseline
-uses a derived 2080Ti-equivalent estimate:
+Headline metric: depth-maps/s at the reference's DTU eval setting
+(1152x864, 5 views, 48/32/8 cascade, batch 1) on the available
+accelerator. The reference publishes no throughput number (BASELINE.md;
+its test loop only prints per-batch wall time, reference test.py:115-116),
+so vs_baseline uses a derived 2080Ti-equivalent estimate:
 
   XLA cost analysis counts 1.296 TFLOP per depth map at this setting
   (probes/flops_mfu.py, 2026-08-21; the Pallas kernels are opaque to the
@@ -73,6 +80,8 @@ def main():
 
     run_ms, _ = timed_ms(forward, variables, imgs, projs, dv, iters=8, warmup=2)
     maps_per_s = B * 1e3 / run_ms
+
+    train_ms, train_maps = _train_step_bench(model.cfg, V)
     print(
         json.dumps(
             {
@@ -80,9 +89,69 @@ def main():
                 "value": round(maps_per_s, 4),
                 "unit": "depth-maps/s",
                 "vs_baseline": round(maps_per_s / BASELINE_DEPTH_MAPS_PER_S, 4),
+                "train_step_ms_512x640_b1": train_ms,
+                "train_maps_per_s": train_maps,
             }
         )
     )
+
+
+def _train_step_bench(cfg, V: int, steps: int = 5):
+    """One-chip train-step timing at the DTU recipe shape (512x640, B=1).
+
+    Chained dispatches (state carried step-to-step) so dispatches cannot
+    overlap; returns (ms/step, train-maps/s) or (None, None) on failure so
+    the inference line still prints.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from transmvsnet_tpu.train.schedule import make_optimizer, warmup_multistep
+    from transmvsnet_tpu.train.step import create_train_state, make_train_step
+
+    from __graft_entry__ import _example_inputs
+
+    try:
+        B, H, W = 1, 512, 640
+        from transmvsnet_tpu.config import ModelConfig
+        from transmvsnet_tpu.models.transmvsnet import TransMVSNet
+
+        model = TransMVSNet(
+            ModelConfig(
+                use_pallas=cfg.use_pallas, compute_dtype=cfg.compute_dtype
+            )
+        )
+        imgs, projs, dv = _example_inputs(B=B, V=V, H=H, W=W, num_hyp=192)
+        rng = np.random.RandomState(0)
+        depth, mask = {}, {}
+        for s, scale in [("stage1", 4), ("stage2", 2), ("stage3", 1)]:
+            d = rng.uniform(480.0, 880.0, (B, H // scale, W // scale))
+            depth[s] = jnp.asarray(d.astype(np.float32))
+            mask[s] = jnp.ones_like(depth[s])
+        batch = {
+            "imgs": imgs,
+            "proj_matrices": projs,
+            "depth_values": dv,
+            "depth": depth,
+            "mask": mask,
+        }
+        t_imgs, t_projs, t_dv = _example_inputs(B=1, V=V, H=64, W=128)
+        variables = model.init(
+            jax.random.PRNGKey(0), t_imgs, t_projs, t_dv, train=False
+        )
+        optimizer = make_optimizer(warmup_multistep(1e-3, [10**9], 0.5))
+        state = create_train_state(model, variables, optimizer)
+        step = jax.jit(make_train_step(model, optimizer), donate_argnums=0)
+        state, scalars = step(state, batch)
+        float(scalars["loss"])  # block on compile + first step
+        t0 = time.time()
+        for _ in range(steps):
+            state, scalars = step(state, batch)
+        assert np.isfinite(float(scalars["loss"]))  # forces the chain
+        dt = (time.time() - t0) / steps
+        return round(dt * 1e3, 1), round(B / dt, 4)
+    except Exception:
+        return None, None
 
 
 if __name__ == "__main__":

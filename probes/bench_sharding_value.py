@@ -45,34 +45,7 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
-_DTYPE_BYTES = {
-    "f64": 8, "f32": 4, "f16": 2, "bf16": 2,
-    "s64": 8, "s32": 4, "s16": 2, "s8": 1,
-    "u64": 8, "u32": 4, "u16": 2, "u8": 1, "pred": 1,
-}
-_SHAPE_RE = re.compile(r"(f64|f32|f16|bf16|s64|s32|s16|s8|u64|u32|u16|u8|pred)\[([\d,]*)\]")
-_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter", "collective-permute")
-
-
-def collective_bytes(hlo_text: str) -> dict[str, int]:
-    """Sum output bytes of collective ops in optimized HLO, by op kind."""
-    out: dict[str, int] = {}
-    for line in hlo_text.splitlines():
-        stripped = line.strip()
-        for kind in _COLLECTIVES:
-            # "%x = f32[8,32]{...} all-reduce(..." or tuple-shaped variants
-            if f" {kind}(" in stripped or f" {kind}-start(" in stripped:
-                lhs = stripped.split(f" {kind}")[0]
-                total = 0
-                for m in _SHAPE_RE.finditer(lhs):
-                    dims = m.group(2)
-                    n = 1
-                    for d in dims.split(","):
-                        if d:
-                            n *= int(d)
-                    total += n * _DTYPE_BYTES[m.group(1)]
-                out[kind] = out.get(kind, 0) + total
-    return out
+from transmvsnet_tpu.parallel.hlo_analysis import collective_bytes  # noqa: E402
 
 
 def analyze(fn, args, mesh, rules_ctx, label: str) -> dict:

@@ -28,12 +28,17 @@ import jax.numpy as jnp
 
 
 def main():
-    seed = int(os.environ.get("GATE_SEED", "0"))
-    epochs = int(os.environ.get("GATE_EPOCHS", "40"))
-    baseline = float(os.environ.get("GATE_BASELINE", "1.0"))
-    lr = float(os.environ.get("GATE_LR", "2e-3"))
-    # LR decay epoch (0 = constant); polish matters for the accuracy floor.
-    decay_epoch = int(os.environ.get("GATE_DECAY_EPOCH", "0"))
+    # The recipe (epochs, lr schedule, scene baseline) is imported from the
+    # gate itself so calibration can never silently run a different config
+    # than the one backing the pin; env vars still override both sides.
+    from test_accuracy_gate import (
+        GATE_BASELINE as baseline,
+        GATE_DECAY_EPOCH as decay_epoch,
+        GATE_EPOCHS as epochs,
+        GATE_LR as lr,
+        GATE_SEED as seed,
+    )
+
     t_start = time.time()
 
     from transmvsnet_tpu.config import ModelConfig

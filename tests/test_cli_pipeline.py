@@ -177,6 +177,39 @@ class TestDTUFuseEvalChain:
         assert np.isfinite(result["overall"])
         assert result["overall"] < 0.5, result
 
+    def test_dtu_normal_filter_method(self, tmp_path):
+        """--filter_method normal: the upstream fixed-threshold filter
+        (reference README.md:149-152 0.314 ablation row) runs the same CLI
+        chain; GT depths are mutually consistent so the 1 px / 0.01 test
+        accepts the surface, and the fused cloud evaluates near zero."""
+        from transmvsnet_tpu.eval.dtu_eval import evaluate_dtu
+        from transmvsnet_tpu.tools import fuse
+
+        scan_root = tmp_path / "out" / "scan1"
+        os.makedirs(scan_root)
+        scene = self._materialize_gt_scan(str(scan_root))
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("scan1\n")
+
+        plydir = str(tmp_path / "plys")
+        fuse.main(
+            [
+                "--testpath", str(tmp_path / "out"),
+                "--testlist", str(listfile),
+                "--outdir", plydir,
+                "--test_dataset", "dtu",
+                "--filter_method", "normal",
+                "--photo_threshold", "0.5",
+                "--thres_view", "2",
+                "--num_workers", "1",
+            ]
+        )
+        gt_root = str(tmp_path / "gt")
+        self._materialize_dtu_gt(gt_root, scene, scan_id=1)
+        result = evaluate_dtu(plydir, gt_root, scan_ids=[1])
+        assert np.isfinite(result["overall"])
+        assert result["overall"] < 0.5, result
+
     def test_dtu_native_filter_method(self, tmp_path):
         """--filter_method native: the C++ binary runs the same CLI chain
         end-to-end and emits colored points (JPEG→PPM bridge)."""

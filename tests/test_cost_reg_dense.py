@@ -96,3 +96,45 @@ def test_dense_gradients_flow():
     norms = [float(jnp.linalg.norm(g)) for g in jax.tree.leaves(grads)]
     assert all(np.isfinite(norms))
     assert sum(n > 0 for n in norms) > len(norms) * 0.8
+
+
+def test_cf_batchnorm_train_mode_matches_blocks():
+    """_CFBatchNorm(train=True) == blocks.BatchNorm on the transposed input
+    (ADVICE r3: the train-mode branch was only exercised indirectly)."""
+    from transmvsnet_tpu.models.blocks import BatchNorm
+    from transmvsnet_tpu.models.cost_reg import _CFBatchNorm
+
+    rng = np.random.RandomState(3)
+    C, B, N = 8, 2, 64
+    x_cl = jnp.asarray(rng.randn(B, N, C).astype(np.float32) * 2 + 0.5)
+    x_cf = x_cl.transpose(0, 2, 1)  # [B, C, N]
+
+    ref = BatchNorm(C)
+    cf = _CFBatchNorm(C)
+    v_ref = ref.init(jax.random.PRNGKey(0), x_cl, True)
+    v_cf = cf.init(jax.random.PRNGKey(0), x_cf, True)
+    # Non-trivial affine params + running stats so the update path is real.
+    params = {
+        "scale": jnp.asarray(rng.rand(C).astype(np.float32) + 0.5),
+        "bias": jnp.asarray(rng.randn(C).astype(np.float32)),
+    }
+    stats = {
+        "mean": jnp.asarray(rng.randn(C).astype(np.float32)),
+        "var": jnp.asarray(rng.rand(C).astype(np.float32) + 0.5),
+    }
+    v_ref = {"params": params, "batch_stats": stats}
+    v_cf = {"params": params, "batch_stats": stats}
+
+    y_ref, m_ref = ref.apply(v_ref, x_cl, True, mutable=["batch_stats"])
+    y_cf, m_cf = cf.apply(v_cf, x_cf, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(y_cf.transpose(0, 2, 1)), np.asarray(y_ref), rtol=1e-6, atol=1e-6
+    )
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(m_cf["batch_stats"][k]),
+            np.asarray(m_ref["batch_stats"][k]),
+            rtol=1e-6,
+            atol=1e-6,
+            err_msg=k,
+        )

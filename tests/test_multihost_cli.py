@@ -27,6 +27,24 @@ def _free_port() -> int:
 
 @pytest.mark.slow
 def test_train_cli_two_processes(tmp_path):
+    # _free_port is TOCTOU (ADVICE r3): another process can grab the port
+    # between the probe and the coordinator's bind — retry the whole launch
+    # on a fresh port if the coordinator fails to come up.
+    last = None
+    for _ in range(3):
+        try:
+            _run_two_process_cli(tmp_path)
+            return
+        except _CoordinatorBindError as e:  # pragma: no cover - rare race
+            last = e
+    raise AssertionError(f"coordinator bind kept failing: {last}")
+
+
+class _CoordinatorBindError(RuntimeError):
+    pass
+
+
+def _run_two_process_cli(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     coordinator = f"localhost:{_free_port()}"
     logdir = str(tmp_path / "ckpt")
@@ -67,6 +85,8 @@ def test_train_cli_two_processes(tmp_path):
             raise
         outs.append(out.decode(errors="replace"))
     for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0 and "Failed to bind" in out:
+            raise _CoordinatorBindError(out[-1000:])
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
 
     # Both processes ran the epoch; rank 0 alone wrote the checkpoint and

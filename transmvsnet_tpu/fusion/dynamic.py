@@ -44,6 +44,16 @@ class FusionParams:
     # rungs widened proportionally. 1.0 = reference behavior.
     dist_scale: float = 1.0
     rel_diff_scale: float = 1.0
+    # "dynamic" = the vote-ladder acceptance above; "normal" = the
+    # upstream fixed-threshold filter behind the published 0.314 DTU row
+    # (reference README.md:149-152): a pixel is kept iff ≥ thres_view
+    # sources agree within geo_pixel_thres px reprojection distance AND
+    # geo_depth_thres relative depth difference (the MVSNet-family 1 px /
+    # 0.01 convention). The delldu fork dropped this filter; the geometry
+    # core (reproject_with_depth) is shared with the dynamic ladder.
+    mode: str = "dynamic"
+    geo_pixel_thres: float = 1.0
+    geo_depth_thres: float = 0.01
 
 
 def _read_fusion_cam(path: str, scale: float, index: int, flag: int):
@@ -127,6 +137,26 @@ def check_geometric_consistency(
     depth_reproj = depth_reproj.copy()
     depth_reproj[~mask] = 0
     return masks, mask, depth_reproj
+
+
+def check_geometric_consistency_fixed(
+    depth_ref, intr_ref, extr_ref, depth_src, intr_src, extr_src,
+    pixel_thres: float = 1.0, depth_thres: float = 0.01,
+):
+    """Fixed-threshold consistency (the upstream "normal" filter's test):
+    mask = (reproj dist < pixel_thres px) ∧ (relative depth diff <
+    depth_thres). Returns (mask, depth_reprojected zeroed off-mask)."""
+    height, width = depth_ref.shape
+    x_ref, y_ref = np.meshgrid(np.arange(width), np.arange(height))
+    depth_reproj, x_reproj, y_reproj, _, _ = reproject_with_depth(
+        depth_ref, intr_ref, extr_ref, depth_src, intr_src, extr_src
+    )
+    dist = np.sqrt((x_reproj - x_ref) ** 2 + (y_reproj - y_ref) ** 2)
+    relative = np.abs(depth_reproj - depth_ref) / np.maximum(depth_ref, 1e-12)
+    mask = np.logical_and(dist < pixel_thres, relative < depth_thres)
+    depth_reproj = depth_reproj.copy()
+    depth_reproj[~mask] = 0
+    return mask, depth_reproj
 
 
 def _fit_image_to_grid(img: np.ndarray, grid_hw: tuple[int, int]):
@@ -220,19 +250,29 @@ def fuse_scan(
                 index,
                 flag,
             )
-            masks, geo_mask, depth_reproj = check_geometric_consistency(
-                ref_depth, intr_ref, extr_ref, src_depth, intr_src, extr_src,
-                dist_scale=params.dist_scale,
-                rel_diff_scale=params.rel_diff_scale,
-            )
-            for i in range(2, n):
-                ladder_sums[i - 2] += masks[i - 2].astype(np.int32)
+            if params.mode == "normal":
+                geo_mask, depth_reproj = check_geometric_consistency_fixed(
+                    ref_depth, intr_ref, extr_ref, src_depth, intr_src,
+                    extr_src,
+                    pixel_thres=params.geo_pixel_thres,
+                    depth_thres=params.geo_depth_thres,
+                )
+            else:
+                masks, geo_mask, depth_reproj = check_geometric_consistency(
+                    ref_depth, intr_ref, extr_ref, src_depth, intr_src,
+                    extr_src,
+                    dist_scale=params.dist_scale,
+                    rel_diff_scale=params.rel_diff_scale,
+                )
+                for i in range(2, n):
+                    ladder_sums[i - 2] += masks[i - 2].astype(np.int32)
             geo_mask_sum += geo_mask.astype(np.int32)
             depth_accum += depth_reproj
 
         geo_mask = geo_mask_sum >= params.thres_view
-        for i in range(2, n):
-            geo_mask = np.logical_or(geo_mask, ladder_sums[i - 2] >= i)
+        if params.mode != "normal":
+            for i in range(2, n):
+                geo_mask = np.logical_or(geo_mask, ladder_sums[i - 2] >= i)
 
         depth_avg = (depth_accum + ref_depth) / (geo_mask_sum + 1)
         final_mask = np.logical_and(photo_mask, geo_mask)

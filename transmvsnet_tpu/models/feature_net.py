@@ -83,19 +83,31 @@ class DCN(nn.Module):
             elif self.pallas_interpret:
                 interp = True
         if interp is not None:
+            import functools
+
+            from transmvsnet_tpu.ops.pallas.vjp import deform_conv2d_with_vjp
+
+            pallas_bwd = None
             if x.dtype == jnp.bfloat16:
                 # bf16 activations: one-hot MXU kernel (bf16 data path,
-                # ~2x the gather kernel; see ops/pallas/dcn_onehot.py).
+                # ~2x the gather kernel; see ops/pallas/dcn_onehot.py),
+                # paired with the native Pallas backward (dcn_bwd.py) so
+                # training never touches XLA's gather/scatter path.
+                from transmvsnet_tpu.ops.pallas.dcn_bwd import (
+                    deform_conv2d_bwd,
+                )
                 from transmvsnet_tpu.ops.pallas.dcn_onehot import (
                     deform_conv2d_onehot as dcn_kernel,
                 )
+
+                if self.stride == 1 and self.padding == 1:
+                    pallas_bwd = functools.partial(
+                        deform_conv2d_bwd, interpret=interp
+                    )
             else:
                 from transmvsnet_tpu.ops.pallas.dcn_rowsweep import (
                     deform_conv2d_rowsweep as dcn_kernel,
                 )
-            import functools
-
-            from transmvsnet_tpu.ops.pallas.vjp import deform_conv2d_with_vjp
 
             deform_conv2d_pallas = deform_conv2d_with_vjp(
                 functools.partial(
@@ -109,6 +121,7 @@ class DCN(nn.Module):
                 ),
                 stride=self.stride,
                 padding=self.padding,
+                pallas_bwd=pallas_bwd,
             )
             return deform_conv2d_pallas(x, dy, dx, mask, weight, bias)
         return deform_conv2d(

@@ -165,12 +165,20 @@ class TransMVSNet(nn.Module):
             from transmvsnet_tpu.ops.pallas.vjp import (
                 warp_correlate_wsum_with_vjp,
             )
+            from transmvsnet_tpu.ops.pallas.warp_bwd import (
+                warp_correlate_wsum_bwd,
+            )
             from transmvsnet_tpu.ops.pallas.warp_onehot import (
                 warp_correlate_wsum_onehot,
             )
 
             fused_warp = warp_correlate_wsum_with_vjp(
-                functools.partial(warp_correlate_wsum_onehot, interpret=interp)
+                functools.partial(
+                    warp_correlate_wsum_onehot, interpret=interp
+                ),
+                pallas_bwd=functools.partial(
+                    warp_correlate_wsum_bwd, interpret=interp
+                ),
             )
             vw_flat = view_weights[..., 0]  # [B, S, h, w]
             weighted = fused_warp(
@@ -189,10 +197,19 @@ class TransMVSNet(nn.Module):
                 # Flatten views into the kernel's native batch grid (vmap
                 # over a pallas_call with an ANY-space operand is
                 # unsupported).
+                pallas_bwd = None
                 if src_feas.dtype == jnp.bfloat16:
-                    # bf16 activations: one-hot MXU kernel (warp_onehot.py).
+                    # bf16 activations: one-hot MXU kernel (warp_onehot.py)
+                    # paired with the native Pallas backward (warp_bwd.py).
+                    from transmvsnet_tpu.ops.pallas.warp_bwd import (
+                        warp_correlate_bwd,
+                    )
                     from transmvsnet_tpu.ops.pallas.warp_onehot import (
                         warp_correlate_onehot as warp_kernel,
+                    )
+
+                    pallas_bwd = functools.partial(
+                        warp_correlate_bwd, interpret=interp
                     )
                 else:
                     from transmvsnet_tpu.ops.pallas.warp_rowsweep import (
@@ -203,7 +220,8 @@ class TransMVSNet(nn.Module):
                 )
 
                 warp_fn = warp_correlate_with_vjp(
-                    functools.partial(warp_kernel, interpret=interp)
+                    functools.partial(warp_kernel, interpret=interp),
+                    pallas_bwd=pallas_bwd,
                 )
 
                 Cc = src_feas.shape[-1]

@@ -1,10 +1,19 @@
-"""Custom VJPs for the Pallas kernels: fast forward, XLA-recompute backward.
+"""Custom VJPs for the Pallas kernels.
 
-The Pallas TPU kernels (warp-correlation, DCNv2) are forward-only; these
-wrappers make them differentiable so training can use them too. The
-backward pass linearizes the *XLA reference implementation* at the saved
-inputs (ops/warp.py, ops/dcn.py — which match the PyTorch reference per
-tests/test_parity.py), so gradients have reference semantics:
+The Pallas TPU kernels (warp-correlation, DCNv2) come in two
+differentiability flavors selected by ``pallas_bwd``:
+
+- **Native Pallas backward** (default in the model): the backward is a
+  Pallas kernel too (ops/pallas/warp_bwd.py, ops/pallas/dcn_bwd.py) —
+  every gradient an MXU matmul, no XLA gather/scatter anywhere in the
+  train step. This is what makes training at the recipe resolution fit
+  in HBM and run at kernel speed (PERFORMANCE.md "Training performance").
+- **XLA-recompute backward** (``pallas_bwd=None``): linearizes the XLA
+  reference implementation (ops/warp.py, ops/dcn.py — which match the
+  PyTorch reference per tests/test_parity.py) at the saved inputs. Kept
+  for the f32 rowsweep path and as the semantic oracle in tests.
+
+Gradient semantics in both flavors:
 
 - warp-correlation: grads flow to src/ref features only; the sample grid
   is built under no-grad (reference models/module.py:294-316), so the
@@ -13,9 +22,8 @@ tests/test_parity.py), so gradients have reference semantics:
   torchvision's deform_conv2d (reference models/dcn.py:66-80).
 
 The forward values come from the kernel (bf16 data path); the backward is
-evaluated around the same inputs via the f32 XLA path — the usual
-mixed-precision practice of a slightly-different forward realization with
-a straight-through-consistent gradient.
+evaluated around the same inputs — the usual mixed-precision practice of
+a slightly-different forward realization with a consistent gradient.
 """
 
 from __future__ import annotations
@@ -26,10 +34,14 @@ import jax
 import jax.numpy as jnp
 
 
-def warp_correlate_with_vjp(pallas_fwd: Callable) -> Callable:
+def warp_correlate_with_vjp(
+    pallas_fwd: Callable, pallas_bwd: Callable | None = None
+) -> Callable:
     """Differentiable wrapper for a warp-correlate kernel.
 
-    ``pallas_fwd(src, ref, src_proj, ref_proj, depth_values) -> sim``.
+    ``pallas_fwd(src, ref, src_proj, ref_proj, depth_values) -> sim``;
+    ``pallas_bwd(src, ref, src_proj, ref_proj, depth_values, g)
+    -> (dsrc, dref)`` or None for the XLA-recompute backward.
     """
     from transmvsnet_tpu.ops.warp import warp_correlate as warp_xla
 
@@ -43,12 +55,19 @@ def warp_correlate_with_vjp(pallas_fwd: Callable) -> Callable:
 
     def bwd(res, g):
         src, ref, src_proj, ref_proj, depth_values = res
-        _, vjp_fn = jax.vjp(
-            lambda s, r: warp_xla(s, r, src_proj, ref_proj, depth_values),
-            src,
-            ref,
-        )
-        dsrc, dref = vjp_fn(g.astype(src.dtype))
+        if pallas_bwd is not None:
+            dsrc, dref = pallas_bwd(
+                src, ref, src_proj, ref_proj, depth_values, g
+            )
+            dsrc = dsrc.astype(src.dtype)
+            dref = dref.astype(ref.dtype)
+        else:
+            _, vjp_fn = jax.vjp(
+                lambda s, r: warp_xla(s, r, src_proj, ref_proj, depth_values),
+                src,
+                ref,
+            )
+            dsrc, dref = vjp_fn(g.astype(src.dtype))
         return (
             dsrc,
             dref,
@@ -61,11 +80,15 @@ def warp_correlate_with_vjp(pallas_fwd: Callable) -> Callable:
     return f
 
 
-def warp_correlate_wsum_with_vjp(pallas_fwd: Callable) -> Callable:
+def warp_correlate_wsum_with_vjp(
+    pallas_fwd: Callable, pallas_bwd: Callable | None = None
+) -> Callable:
     """Differentiable wrapper for the view-accumulating warp kernel.
 
     ``pallas_fwd(src_feas, ref, src_projs, ref_proj, depth_values,
-    view_weights) -> [B, D, H, W]`` (the Σ_s w_s·sim_s form).
+    view_weights) -> [B, D, H, W]`` (the Σ_s w_s·sim_s form);
+    ``pallas_bwd(...same..., g) -> (dsrc, dref, dvw)`` or None for the
+    XLA-recompute backward.
     """
     from transmvsnet_tpu.ops.warp import warp_correlate as warp_xla
 
@@ -87,15 +110,22 @@ def warp_correlate_wsum_with_vjp(pallas_fwd: Callable) -> Callable:
 
     def bwd(res, g):
         src_feas, ref, src_projs, ref_proj, depth_values, vw = res
-        _, vjp_fn = jax.vjp(
-            lambda s, r, w: xla_ref(
-                s, r, src_projs, ref_proj, depth_values, w
-            ),
-            src_feas,
-            ref,
-            vw,
-        )
-        dsrc, dref, dvw = vjp_fn(g.astype(src_feas.dtype))
+        if pallas_bwd is not None:
+            dsrc, dref, dvw = pallas_bwd(
+                src_feas, ref, src_projs, ref_proj, depth_values, vw, g
+            )
+            dsrc = dsrc.astype(src_feas.dtype)
+            dref = dref.astype(ref.dtype)
+        else:
+            _, vjp_fn = jax.vjp(
+                lambda s, r, w: xla_ref(
+                    s, r, src_projs, ref_proj, depth_values, w
+                ),
+                src_feas,
+                ref,
+                vw,
+            )
+            dsrc, dref, dvw = vjp_fn(g.astype(src_feas.dtype))
         return (
             dsrc,
             dref,
@@ -114,12 +144,14 @@ def deform_conv2d_with_vjp(
     stride: int = 1,
     padding: int = 1,
     dilation: int = 1,
+    pallas_bwd: Callable | None = None,
 ) -> Callable:
     """Differentiable wrapper for a DCNv2 kernel.
 
     ``pallas_fwd(x, dy, dx, mask, weight, bias) -> y``. The geometry
     (stride/padding/dilation) must match what ``pallas_fwd`` implements —
-    it parameterizes the XLA backward linearization.
+    it parameterizes the backward. ``pallas_bwd(x, dy, dx, mask, weight,
+    g) -> (dx_in, ddy, ddx, dm, dw)`` or None for the XLA linearization.
     """
     from transmvsnet_tpu.ops.dcn import deform_conv2d as dcn_xla
 
@@ -133,6 +165,17 @@ def deform_conv2d_with_vjp(
 
     def bwd(res, g):
         x, dy, dx, mask, weight, bias = res
+        if pallas_bwd is not None:
+            dx_in, ddy, ddx, dm, dw = pallas_bwd(x, dy, dx, mask, weight, g)
+            dbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+            return (
+                dx_in.astype(x.dtype),
+                ddy.astype(dy.dtype),
+                ddx.astype(dx.dtype),
+                dm.astype(mask.dtype),
+                dw.astype(weight.dtype),
+                dbias.astype(bias.dtype),
+            )
         _, vjp_fn = jax.vjp(
             lambda *a: dcn_xla(
                 *a, stride=stride, padding=padding, dilation=dilation
