@@ -181,3 +181,57 @@ class TestDCNBwd:
         names = ["dx_in", "d_dy", "d_dx", "d_mask", "d_weight", "d_bias"]
         for gi, gr, name in zip(g, g_ref, names):
             _assert_close(gi, gr, name)
+
+
+class TestFusedDCNVjp:
+    def test_fused_grads_match_xla_composition(self):
+        """The conv-fused DCN wrapper's gradients == autodiff of the XLA
+        composition (offset conv -> interleave -> deform_conv2d) seeded
+        with the kernel's output, for every parameter."""
+        from transmvsnet_tpu.ops.pallas.dcn_onehot import (
+            deform_conv2d_onehot_fused,
+        )
+        from transmvsnet_tpu.ops.pallas.vjp import (
+            _offset_conv,
+            deform_conv2d_fused_with_vjp,
+            split_offsets,
+        )
+
+        rng = np.random.RandomState(11)
+        B, H, W, C, C_out = 1, 16, 128, 8, 8
+        # Offsets are conv outputs of x, and the kernels' window contract
+        # needs them lane-locally smooth — so x must be a smooth field
+        # (iid-random x makes iid offsets, which are adversarial to ANY
+        # windowed kernel; learned DCN offsets are smooth).
+        x = smooth_offsets(B, H, W, C, amplitude=1.0, seed=12)
+        # 1/8-quantized weights keep hat weights bf16-exact (cf. TestDCNBwd).
+        k_off = jnp.round(
+            jnp.asarray(rng.randn(3, 3, C, 27).astype(np.float32)) * 8
+        ) / 128
+        b_off = jnp.round(
+            jnp.asarray(rng.randn(27).astype(np.float32)) * 8
+        ) / 16
+        w = jnp.asarray(rng.randn(9, C, C_out).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(C_out).astype(np.float32) * 0.1)
+
+        f = deform_conv2d_fused_with_vjp(
+            functools.partial(deform_conv2d_onehot_fused, interpret=True),
+            pallas_bwd=functools.partial(deform_conv2d_bwd, interpret=True),
+        )
+        g = jax.grad(
+            lambda *a: jnp.sum(f(*a) ** 2), argnums=tuple(range(5))
+        )(x, k_off, b_off, w, b)
+
+        out_k = deform_conv2d_onehot_fused(
+            x, k_off, b_off, w, b, interpret=True
+        )
+
+        def xla_ref(x_, k_, bo_, w_, b_):
+            dy, dx, mask = split_offsets(_offset_conv(x_, k_, bo_))
+            return dcn_xla(x_, dy, dx, mask, w_, b_)
+
+        _, vjp_fn = jax.vjp(xla_ref, x, k_off, b_off, w, b)
+        g_ref = vjp_fn((2.0 * out_k).astype(x.dtype))
+        names = ["dx", "dk_off", "db_off", "dw", "db"]
+        for gi, gr, name in zip(g, g_ref, names):
+            _assert_close(gi, gr, name, atol_frac=4e-2, med_frac=1e-2)

@@ -4,6 +4,7 @@ The one-hot variants carry a bf16 feature/weight data path (the model's
 bf16 compute mode), so comparisons use bf16-scale tolerances.
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -80,3 +81,60 @@ class TestWarpOnehot:
         )
         close = np.isclose(got, expected, rtol=3e-2, atol=3e-2)
         assert close.mean() > 0.995, close.mean()
+
+
+class TestDCNOnehotFused:
+    def _params(self, B=1, H=32, W=128, C=16, C_out=16, seed=5):
+        rng = np.random.RandomState(seed)
+        x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+        k_off = jnp.asarray(rng.randn(3, 3, C, 27).astype(np.float32) * 0.05)
+        b_off = jnp.asarray(rng.randn(27).astype(np.float32) * 0.1)
+        w = jnp.asarray(rng.randn(9, C, C_out).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(C_out).astype(np.float32) * 0.1)
+        return x, k_off, b_off, w, b
+
+    @staticmethod
+    def _offsets_xla(x, k_off, b_off):
+        """The DCN module's offset prelude (reference models/dcn.py:62-70)."""
+        off = jax.lax.conv_general_dilated(
+            x, k_off.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_off.astype(x.dtype)
+        o1, o2, m = jnp.split(off, 3, axis=-1)
+        cat = jnp.concatenate([o1, o2], axis=-1)
+        return cat[..., 0::2], cat[..., 1::2], jax.nn.sigmoid(m)
+
+    @pytest.mark.parametrize("C,C_out,H,W", [(16, 16, 32, 128), (32, 8, 24, 96)])
+    def test_fused_matches_composed(self, C, C_out, H, W):
+        import jax
+
+        from transmvsnet_tpu.ops.pallas.dcn_onehot import (
+            deform_conv2d_onehot_fused,
+        )
+
+        x, k_off, b_off, w, b = self._params(H=H, W=W, C=C, C_out=C_out)
+        xb = x.astype(jnp.bfloat16)
+        dy, dx, m = self._offsets_xla(xb, k_off, b_off)
+        composed = np.asarray(
+            deform_conv2d_onehot(
+                xb, dy.astype(jnp.float32), dx.astype(jnp.float32),
+                m.astype(jnp.float32), w, b, interpret=True,
+            ),
+            np.float32,
+        )
+        fused = np.asarray(
+            deform_conv2d_onehot_fused(
+                xb, k_off, b_off, w, b, interpret=True
+            ),
+            np.float32,
+        )
+        # The in-kernel bf16 conv and XLA's bf16 conv round offsets
+        # slightly differently; where an offset sits on an integer
+        # boundary the floor() flips and isolated pixels sample different
+        # taps — compare by close-fraction like the warp kernel tests.
+        scale = np.abs(composed).max()
+        close = np.isclose(
+            fused / scale, composed / scale, rtol=0, atol=4e-2
+        )
+        assert close.mean() > 0.995, close.mean()
+        assert np.median(np.abs(fused - composed)) < 1e-2 * scale

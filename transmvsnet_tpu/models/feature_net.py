@@ -27,6 +27,22 @@ from transmvsnet_tpu.ops.dcn import deform_conv2d
 from transmvsnet_tpu.ops.sampling import upsample_nearest_2x
 
 
+class _RawConvParams(nn.Module):
+    """Declares a ConvND-compatible (kernel, bias) parameter pair without
+    running the conv — the conv-fused DCN kernel consumes the raw arrays.
+    Param tree matches ConvND exactly, so checkpoints/converted weights are
+    interchangeable between the fused and composed paths."""
+
+    kernel_shape: tuple
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.zeros, self.kernel_shape)
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class DCN(nn.Module):
     """Modulated deformable conv layer (DCNv2 with learned offset+mask).
 
@@ -35,6 +51,11 @@ class DCN(nn.Module):
     interleaved (Δy, Δx) layout derived from the reference's chunk+cat
     (reference models/dcn.py:67-70): the first half of the concatenated
     offset channels land at even interleaved positions, the second at odd.
+
+    On the bf16 Pallas path the offset conv is computed INSIDE the DCN
+    kernel (dcn_onehot.deform_conv2d_onehot_fused): XLA's channel-minor
+    relayouts made the 27-channel offset prelude cost ~2x the conv itself
+    (~17 ms/layer at eval res — PERFORMANCE.md round 4).
     """
 
     features: int
@@ -50,6 +71,50 @@ class DCN(nn.Module):
         assert self.deformable_groups == 1
         K = self.kernel_size * self.kernel_size
         in_ch = x.shape[-1]
+
+        interp = None
+        if self.use_pallas:
+            if jax.default_backend() == "tpu":
+                interp = False
+            elif self.pallas_interpret:
+                interp = True
+
+        fused = (
+            interp is not None
+            and x.dtype == jnp.bfloat16
+            and self.kernel_size == 3
+            and self.stride == 1
+            and self.padding == 1
+        )
+        if fused:
+            import functools
+
+            from transmvsnet_tpu.ops.pallas.dcn_bwd import deform_conv2d_bwd
+            from transmvsnet_tpu.ops.pallas.dcn_onehot import (
+                deform_conv2d_onehot_fused,
+            )
+            from transmvsnet_tpu.ops.pallas.vjp import (
+                deform_conv2d_fused_with_vjp,
+            )
+
+            k_off, b_off = _RawConvParams(
+                (self.kernel_size, self.kernel_size, in_ch, 3 * K),
+                3 * K,
+                name="conv_offset_mask",
+            )()
+            weight = self.param(
+                "weight", torch_kernel_init, (K, in_ch, self.features)
+            )
+            bias = self.param(
+                "bias", torch_bias_init(in_ch * K), (self.features,)
+            )
+            fn = deform_conv2d_fused_with_vjp(
+                functools.partial(deform_conv2d_onehot_fused, interpret=interp),
+                pallas_bwd=functools.partial(
+                    deform_conv2d_bwd, interpret=interp
+                ),
+            )
+            return fn(x, k_off, b_off, weight, bias)
 
         off = ConvND(
             3 * K,
@@ -76,12 +141,6 @@ class DCN(nn.Module):
         bias = self.param(
             "bias", torch_bias_init(in_ch * K), (self.features,)
         )
-        interp = None
-        if self.use_pallas:
-            if jax.default_backend() == "tpu":
-                interp = False
-            elif self.pallas_interpret:
-                interp = True
         if interp is not None:
             import functools
 

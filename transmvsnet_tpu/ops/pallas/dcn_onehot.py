@@ -24,6 +24,11 @@ WIN = 16
 DR = 3  # candidate rows per (output row, tap)
 XW = 256  # x-window tile width (lanes); probes pass overrides explicitly
 K = 9
+# Tap-grouped variant: candidate rows shared by the 3 taps of one kernel
+# row (their sample rows differ only by the per-tap offsets, which are
+# lane-locally smooth and small) — one extra row of margin over DR covers
+# the inter-tap spread.
+DRG = 5
 
 
 def _kernel(
@@ -138,7 +143,404 @@ def _kernel(
             out_ref[0, i, :, sl] = acc
 
 
+def _kernel_tapgroup(
+    dy_ref,  # VMEM [1, K, ROWS, W] f32
+    dx_ref,  # VMEM [1, K, ROWS, W] f32
+    mask_ref,  # VMEM [1, K, ROWS, W] f32
+    w_ref,  # VMEM [C_out, K*C] bf16 (tap-major columns)
+    x_hbm,  # ANY [B, H, C, W] bf16
+    out_ref,  # VMEM [1, ROWS, C_out, W] f32
+    bigwin,  # scratch [WIN, C, W] bf16
+    xwin,  # scratch [WIN, C, XW] bf16
+    sem0,
+    sem1,
+    *,
+    H: int,
+    W: int,
+    W_img: int,
+    C: int,
+    C_out: int,
+    XW_: int,
+):
+    """MXU-batched variant of ``_kernel``: the 3 taps of each kernel row
+    share one candidate-row stack and one [DRG·C, XW]@[XW, 3·128] matmul
+    (their hat matrices concatenated along lanes), and the 9 per-tap
+    weight contractions collapse into a single [C_out, K·C]@[K·C, 128]
+    matmul per output row. Same bilinear math; ~9x fewer MXU dispatches
+    and ~2.4x fewer streamed stack rows than the per-tap kernel.
+    """
+    b_idx = pl.program_id(0)
+    strip = pl.program_id(1)
+    n_chunks = W // 128
+    kw = 3
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 1)
+    y_base = (strip * ROWS + row_i).astype(jnp.float32)
+    x_base = col_i.astype(jnp.float32)
+
+    pys = [y_base + (k // kw - 1) + dy_ref[0, k] for k in range(K)]
+    pxs = [x_base + (k % kw - 1) + dx_ref[0, k] for k in range(K)]
+
+    y_min = jnp.full((ROWS, W), H - 1, jnp.int32)
+    for k in range(K):
+        y0k = jnp.floor(pys[k]).astype(jnp.int32)
+        ok = (y0k >= -1) & (y0k <= H - 1)
+        y_min = jnp.minimum(y_min, jnp.where(ok, y0k, H - 1))
+    win_start = jnp.clip(jnp.min(y_min), 0, max(H - WIN, 0))
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b_idx, pl.ds(win_start, WIN), :, :], bigwin, sem0
+    )
+    copy.start()
+    copy.wait()
+
+    j_iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (XW_, 128), 0).astype(jnp.float32)
+    )
+
+    for cx in range(n_chunks):
+        sl = slice(cx * 128, cx * 128 + 128)
+
+        xmin_v = jnp.full((ROWS, 128), W_img - 1, jnp.int32)
+        for k in range(K):
+            x0k = jnp.floor(pxs[k][:, sl]).astype(jnp.int32)
+            okx = (x0k >= -1) & (x0k <= W_img - 1)
+            xmin_v = jnp.minimum(xmin_v, jnp.where(okx, x0k, W_img - 1))
+        xmin = jnp.clip((jnp.min(xmin_v) // 128) * 128, 0, max(W - XW_, 0))
+        xmin = pl.multiple_of(xmin, 128)
+
+        if XW_ == W:
+            win_ref = bigwin
+        else:
+            xcopy = pltpu.make_async_copy(
+                bigwin.at[:, :, pl.ds(xmin, XW_)], xwin, sem1
+            )
+            xcopy.start()
+            xcopy.wait()
+            win_ref = xwin
+
+        xminf = xmin.astype(jnp.float32)
+        for i in range(ROWS):
+            msamps = []
+            for kr in range(3):
+                taps = (3 * kr, 3 * kr + 1, 3 * kr + 2)
+                # Shared candidate rows across the kernel row's taps.
+                r_min = jnp.full((1, 128), WIN - 1, jnp.int32)
+                for t in taps:
+                    y0t = jnp.floor(pys[t][i : i + 1, sl]).astype(jnp.int32)
+                    ok_t = (y0t >= -1) & (y0t <= H - 1)
+                    r_min = jnp.minimum(
+                        r_min, jnp.where(ok_t, y0t - win_start, WIN - 1)
+                    )
+                r0 = jnp.clip(jnp.min(r_min), 0, WIN - DRG)
+
+                ew3 = jnp.concatenate(
+                    [
+                        jnp.maximum(
+                            0.0,
+                            1.0
+                            - jnp.abs(
+                                j_iota - (pxs[t][i : i + 1, sl] - xminf)
+                            ),
+                        ).astype(jnp.bfloat16)
+                        for t in taps
+                    ],
+                    axis=1,
+                )  # [XW_, 3*128]
+
+                stack = win_ref[pl.ds(r0, DRG), :, :].reshape(DRG * C, XW_)
+                mm = jnp.dot(
+                    stack, ew3, preferred_element_type=jnp.float32
+                )  # [DRG*C, 3*128]
+
+                for tj, t in enumerate(taps):
+                    py_t = pys[t][i : i + 1, sl]
+                    samp = jnp.zeros((C, 128), jnp.float32)
+                    for g in range(DRG):
+                        row_y = (win_start + r0 + g).astype(jnp.float32)
+                        w_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_t - row_y))
+                        row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
+                        w_y = w_y * row_in.astype(jnp.float32)
+                        samp = samp + (
+                            mm[g * C : (g + 1) * C, tj * 128 : (tj + 1) * 128]
+                            * w_y
+                        )
+                    m_t = mask_ref[0, t, i : i + 1, sl]
+                    msamps.append((samp * m_t).astype(jnp.bfloat16))
+
+            mstack = jnp.concatenate(msamps, axis=0)  # [K*C, 128] bf16
+            out_ref[0, i, :, sl] = jnp.dot(
+                w_ref[...], mstack, preferred_element_type=jnp.float32
+            )
+
+
+def _kernel_fused(
+    woff_ref,  # VMEM [3*K, K*C] bf16 — offset-conv weight, tap-major columns
+    boff_ref,  # VMEM [3*K, 1] f32 — offset-conv bias
+    w_ref,  # VMEM [C_out, K*C] bf16 (tap-major columns)
+    x_hbm,  # ANY [B, H, C, W] bf16
+    out_ref,  # VMEM [1, ROWS, C_out, W] f32
+    halo,  # scratch [WIN, C, W] bf16 (offset-conv input rows)
+    hplus,  # scratch [WIN, C, W] bf16 (lanes shifted: holds x[l+1])
+    hminus,  # scratch [WIN, C, W] bf16 (holds x[l-1])
+    bigwin,  # scratch [WIN, C, W] bf16 (sampling window)
+    xwin,  # scratch [WIN, C, XW] bf16
+    off_s,  # scratch [3*K, ROWS, W] f32 (dy even, dx odd rows; mask 18..26 sigmoided)
+    sem0,
+    sem1,
+    *,
+    H: int,
+    W: int,
+    W_img: int,
+    C: int,
+    C_out: int,
+    XW_: int,
+):
+    """DCNv2 with the offset/mask conv FUSED into the kernel.
+
+    XLA's channel-minor layout machinery makes the 27-channel offset
+    prelude cost ~2x the 3x3 conv itself (measured 17.4 ms/layer at
+    864x1152xV5 — probes/bench_offconv*.py), so phase A computes the conv
+    here instead: a halo window of the same x the sampler streams, two
+    lane-rolled copies for the +-1 column taps, and one
+    [3K, K*C] @ [K*C, W] matmul per output row. Phase B is the
+    tap-grouped sampler (see _kernel_tapgroup) reading offsets from
+    VMEM scratch. Offsets never exist in HBM at all.
+    """
+    b_idx = pl.program_id(0)
+    strip = pl.program_id(1)
+    n_chunks = W // 128
+    base = strip * ROWS
+    KK = 3 * K  # offset-conv output channels (dy, dx interleaved; mask)
+
+    # --- Phase A: 3x3 offset conv over the strip (zero-padded borders) ---
+    hs = jnp.clip(base - 1, 0, max(H - WIN, 0))
+    cpA = pltpu.make_async_copy(
+        x_hbm.at[b_idx, pl.ds(hs, WIN), :, :], halo, sem0
+    )
+    cpA.start()
+    cpA.wait()
+
+    # Mosaic's lane rotate only supports 32-bit data — roll in f32.
+    h0 = halo[...].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (WIN, C, W), 2)
+    hplus[...] = jnp.where(
+        col == W - 1, 0.0, pltpu.roll(h0, W - 1, axis=2)
+    ).astype(jnp.bfloat16)
+    hminus[...] = jnp.where(col == 0, 0.0, pltpu.roll(h0, 1, axis=2)).astype(
+        jnp.bfloat16
+    )
+
+    for i in range(ROWS):
+        slabs = []
+        for dyk in (-1, 0, 1):
+            abs_r = base + i + dyk
+            rel = jnp.clip(abs_r - hs, 0, WIN - 1)
+            okf = ((abs_r >= 0) & (abs_r <= H - 1)).astype(jnp.bfloat16)
+            for src in (hminus, halo, hplus):  # dx = -1, 0, +1
+                slabs.append(src[pl.ds(rel, 1), :, :][0] * okf)  # [C, W]
+        im2col = jnp.concatenate(slabs, axis=0)  # [K*C, W] bf16
+        off_i = (
+            jnp.dot(
+                woff_ref[...], im2col, preferred_element_type=jnp.float32
+            )
+            + boff_ref[...]
+        )  # [3K, W]
+        off_s[:, i, :] = jnp.concatenate(
+            [off_i[0 : 2 * K], jax.nn.sigmoid(off_i[2 * K : KK])], axis=0
+        )
+
+    # --- Phase B: tap-grouped deformable sampling (as _kernel_tapgroup) ---
+    kw = 3
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, W), 1)
+    y_base = (base + row_i).astype(jnp.float32)
+    x_base = col_i.astype(jnp.float32)
+
+    # Interleaved torch layout: (dy_k, dx_k) = (off[2k], off[2k+1]),
+    # mask_k = sigmoid(off[2K + k]) (reference models/dcn.py:67-70).
+    pys = [y_base + (k // kw - 1) + off_s[2 * k] for k in range(K)]
+    pxs = [x_base + (k % kw - 1) + off_s[2 * k + 1] for k in range(K)]
+
+    y_min = jnp.full((ROWS, W), H - 1, jnp.int32)
+    for k in range(K):
+        y0k = jnp.floor(pys[k]).astype(jnp.int32)
+        ok = (y0k >= -1) & (y0k <= H - 1)
+        y_min = jnp.minimum(y_min, jnp.where(ok, y0k, H - 1))
+    win_start = jnp.clip(jnp.min(y_min), 0, max(H - WIN, 0))
+
+    cpB = pltpu.make_async_copy(
+        x_hbm.at[b_idx, pl.ds(win_start, WIN), :, :], bigwin, sem0
+    )
+    cpB.start()
+    cpB.wait()
+
+    j_iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (XW_, 128), 0).astype(jnp.float32)
+    )
+
+    for cx in range(n_chunks):
+        sl = slice(cx * 128, cx * 128 + 128)
+
+        xmin_v = jnp.full((ROWS, 128), W_img - 1, jnp.int32)
+        for k in range(K):
+            x0k = jnp.floor(pxs[k][:, sl]).astype(jnp.int32)
+            okx = (x0k >= -1) & (x0k <= W_img - 1)
+            xmin_v = jnp.minimum(xmin_v, jnp.where(okx, x0k, W_img - 1))
+        xmin = jnp.clip((jnp.min(xmin_v) // 128) * 128, 0, max(W - XW_, 0))
+        xmin = pl.multiple_of(xmin, 128)
+
+        if XW_ == W:
+            win_ref = bigwin
+        else:
+            xcopy = pltpu.make_async_copy(
+                bigwin.at[:, :, pl.ds(xmin, XW_)], xwin, sem1
+            )
+            xcopy.start()
+            xcopy.wait()
+            win_ref = xwin
+
+        xminf = xmin.astype(jnp.float32)
+        for i in range(ROWS):
+            msamps = []
+            for kr in range(3):
+                taps = (3 * kr, 3 * kr + 1, 3 * kr + 2)
+                r_min = jnp.full((1, 128), WIN - 1, jnp.int32)
+                for t in taps:
+                    y0t = jnp.floor(pys[t][i : i + 1, sl]).astype(jnp.int32)
+                    ok_t = (y0t >= -1) & (y0t <= H - 1)
+                    r_min = jnp.minimum(
+                        r_min, jnp.where(ok_t, y0t - win_start, WIN - 1)
+                    )
+                r0 = jnp.clip(jnp.min(r_min), 0, WIN - DRG)
+
+                ew3 = jnp.concatenate(
+                    [
+                        jnp.maximum(
+                            0.0,
+                            1.0
+                            - jnp.abs(
+                                j_iota - (pxs[t][i : i + 1, sl] - xminf)
+                            ),
+                        ).astype(jnp.bfloat16)
+                        for t in taps
+                    ],
+                    axis=1,
+                )  # [XW_, 3*128]
+
+                stack = win_ref[pl.ds(r0, DRG), :, :].reshape(DRG * C, XW_)
+                mm = jnp.dot(
+                    stack, ew3, preferred_element_type=jnp.float32
+                )  # [DRG*C, 3*128]
+
+                for tj, t in enumerate(taps):
+                    py_t = pys[t][i : i + 1, sl]
+                    samp = jnp.zeros((C, 128), jnp.float32)
+                    for g in range(DRG):
+                        row_y = (win_start + r0 + g).astype(jnp.float32)
+                        w_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_t - row_y))
+                        row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
+                        w_y = w_y * row_in.astype(jnp.float32)
+                        samp = samp + (
+                            mm[g * C : (g + 1) * C, tj * 128 : (tj + 1) * 128]
+                            * w_y
+                        )
+                    m_t = off_s[2 * K + t, i : i + 1, sl]
+                    msamps.append((samp * m_t).astype(jnp.bfloat16))
+
+            mstack = jnp.concatenate(msamps, axis=0)  # [K*C, 128] bf16
+            out_ref[0, i, :, sl] = jnp.dot(
+                w_ref[...], mstack, preferred_element_type=jnp.float32
+            )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "xw"))
+def _dcn_onehot_fused_batched(
+    x: jax.Array,  # [B, H, W, C] bf16
+    k_off: jax.Array,  # [3, 3, C, 3*K] offset-conv kernel (HWIO)
+    b_off: jax.Array,  # [3*K] offset-conv bias
+    weight: jax.Array,  # [K, C, C_out]
+    interpret: bool = False,
+    xw: int = XW,
+) -> jax.Array:
+    B, H, W_img, C = x.shape
+    C_out = weight.shape[-1]
+    assert H % ROWS == 0 and H >= WIN, (H,)
+    W = -(-W_img // 128) * 128
+    XW_ = min(xw, W)
+    if W != W_img:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, W - W_img), (0, 0)))
+
+    x_t = x.transpose(0, 1, 3, 2)  # [B, H, C, W]
+    w_flat = weight.transpose(2, 0, 1).reshape(C_out, K * C)
+    # Tap-major columns matching phase A's im2col build order (dy outer,
+    # dx inner), channels contiguous per tap.
+    woff = k_off.transpose(3, 0, 1, 2).reshape(3 * K, K * C)
+
+    kernel = functools.partial(
+        _kernel_fused, H=H, W=W, W_img=W_img, C=C, C_out=C_out, XW_=XW_
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // ROWS),
+        in_specs=[
+            pl.BlockSpec((3 * K, K * C), lambda b, s: (0, 0)),
+            pl.BlockSpec((3 * K, 1), lambda b, s: (0, 0)),
+            pl.BlockSpec((C_out, K * C), lambda b, s: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, ROWS, C_out, W), lambda b, s: (b, s, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, C_out, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WIN, C, W), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, W), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, W), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, W), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, XW_), jnp.bfloat16),
+            pltpu.VMEM((3 * K, ROWS, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        woff.astype(jnp.bfloat16),
+        b_off.reshape(3 * K, 1).astype(jnp.float32),
+        w_flat.astype(jnp.bfloat16),
+        x_t,
+    )
+    return out.transpose(0, 1, 3, 2)[:, :, :W_img, :]  # [B, H, W_img, C_out]
+
+
+def deform_conv2d_onehot_fused(
+    x: jax.Array,  # [B, H, W, C]
+    k_off: jax.Array,  # [3, 3, C, 3*K] offset-conv kernel
+    b_off: jax.Array,  # [3*K] offset-conv bias
+    weight: jax.Array,  # [K, C, C_out]
+    bias: jax.Array | None = None,
+    interpret: bool = False,
+    xw: int = XW,
+) -> jax.Array:
+    """DCNv2 with the offset/mask conv computed inside the kernel.
+
+    Equals ``deform_conv2d_onehot(x, *split(conv(x, k_off) + b_off), ...)``
+    with the interleaved torch channel layout (reference
+    models/dcn.py:62-80) — but the offsets never round-trip through HBM.
+    """
+    out = _dcn_onehot_fused_batched(
+        x.astype(jnp.bfloat16),
+        k_off,
+        b_off,
+        weight,
+        interpret=interpret,
+        xw=xw,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "xw", "tap_grouped"))
 def _dcn_onehot_batched(
     x: jax.Array,  # [B, H, W, C] bf16
     dy: jax.Array,  # [B, H, W, K] f32
@@ -147,6 +549,7 @@ def _dcn_onehot_batched(
     weight: jax.Array,  # [K, C, C_out]
     interpret: bool = False,
     xw: int = XW,
+    tap_grouped: bool = True,
 ) -> jax.Array:
     B, H, W_img, C = x.shape
     C_out = weight.shape[-1]
@@ -167,7 +570,8 @@ def _dcn_onehot_batched(
     w_flat = weight.transpose(2, 0, 1).reshape(C_out, K * C)
 
     kernel = functools.partial(
-        _kernel, H=H, W=W, W_img=W_img, C=C, C_out=C_out, XW_=XW_
+        _kernel_tapgroup if tap_grouped else _kernel,
+        H=H, W=W, W_img=W_img, C=C, C_out=C_out, XW_=XW_,
     )
     out = pl.pallas_call(
         kernel,
@@ -210,6 +614,7 @@ def deform_conv2d_onehot(
     dilation: int = 1,
     interpret: bool = False,
     xw: int = XW,
+    tap_grouped: bool = True,
 ) -> jax.Array:
     """Batched DCNv2, one-hot MXU kernel (bf16 inference path)."""
     assert stride == 1 and padding == 1 and dilation == 1
@@ -221,6 +626,7 @@ def deform_conv2d_onehot(
         weight,
         interpret=interpret,
         xw=xw,
+        tap_grouped=tap_grouped,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)

@@ -186,3 +186,80 @@ def deform_conv2d_with_vjp(
 
     f.defvjp(fwd, bwd)
     return f
+
+
+def _offset_conv(x, k_off, b_off):
+    """The DCN offset/mask conv (reference models/dcn.py:55-64), NHWC."""
+    return (
+        jax.lax.conv_general_dilated(
+            x,
+            k_off.astype(x.dtype),
+            (1, 1),
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + b_off.astype(x.dtype)
+    )
+
+
+def split_offsets(off):
+    """Interleaved torch offset layout → (dy, dx, mask), each [..., K]
+    (reference models/dcn.py:67-70; channels [o1|o2] read as pairs)."""
+    K = off.shape[-1] // 3
+    o1, o2, m = jnp.split(off, 3, axis=-1)
+    cat = jnp.concatenate([o1, o2], axis=-1)
+    return cat[..., 0::2], cat[..., 1::2], jax.nn.sigmoid(m)
+
+
+def deform_conv2d_fused_with_vjp(
+    pallas_fwd: Callable, pallas_bwd: Callable
+) -> Callable:
+    """Differentiable wrapper for the conv-fused DCNv2 kernel.
+
+    ``pallas_fwd(x, k_off, b_off, weight, bias) -> y`` computes the
+    offset/mask conv inside the kernel (dcn_onehot.deform_conv2d_onehot_fused,
+    stride=dilation=1, pad=1). The backward recomputes the offsets with the
+    XLA conv (cheap at training resolution, and its VJP gives the
+    offset-conv parameter grads), routes the sampling gradients through the
+    native Pallas backward (``pallas_bwd`` = dcn_bwd.deform_conv2d_bwd),
+    and sums the two x-gradient paths.
+    """
+
+    @jax.custom_vjp
+    def f(x, k_off, b_off, weight, bias):
+        return pallas_fwd(x, k_off, b_off, weight, bias)
+
+    def fwd(x, k_off, b_off, weight, bias):
+        out = pallas_fwd(x, k_off, b_off, weight, bias)
+        return out, (x, k_off, b_off, weight, bias)
+
+    def bwd(res, g):
+        x, k_off, b_off, weight, bias = res
+        off, conv_vjp = jax.vjp(_offset_conv, x, k_off, b_off)
+        dy, dx, mask = split_offsets(off)
+        dx_s, ddy, ddx, dm, dw = pallas_bwd(
+            x,
+            dy.astype(jnp.float32),
+            dx.astype(jnp.float32),
+            mask.astype(jnp.float32),
+            weight,
+            g,
+        )
+        # d(off): interleave (ddy, ddx) back into the [o1|o2] pairs and
+        # push d(mask) through the sigmoid.
+        K = ddy.shape[-1]
+        dcat = jnp.stack([ddy, ddx], axis=-1).reshape(*ddy.shape[:-1], 2 * K)
+        dmask_pre = dm * (mask * (1.0 - mask)).astype(jnp.float32)
+        doff = jnp.concatenate([dcat, dmask_pre], axis=-1).astype(off.dtype)
+        dx_c, dk_off, db_off = conv_vjp(doff)
+        dbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+        return (
+            (dx_s + dx_c.astype(jnp.float32)).astype(x.dtype),
+            dk_off.astype(k_off.dtype),
+            db_off.astype(b_off.dtype),
+            dw.astype(weight.dtype),
+            dbias.astype(bias.dtype),
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
