@@ -6,13 +6,24 @@ recompute, each expressed as an MXU contraction (the XLA-linearization
 backward's serial gathers/scatters are why the recompute-VJP train step
 measured 9 s; see PERFORMANCE.md "Training performance").
 
-With q = Wᵀ·g routed per tap k (one [K·C, C_out]@[C_out, 128] matmul):
+Structure mirrors the forward's tap-grouped windowed sampler
+(``dcn_onehot._kernel_tapgroup``): per (output row, 128-lane chunk,
+kernel row) the 3 taps share one candidate-row stack and 128-aligned
+x-window of width XW, so hat matrices are [XW, 3·128] instead of the
+full-width [W, 128] of the first-cut backward (measured 53.9 ms/layer at
+512x640 vs 12.0 fwd — the full-width ew/dew builds and matmuls were the
+cost; see PERFORMANCE.md "Backward kernel tuning").
 
-  d_mask_k   = Σ_c q_k ⊙ samp_k                 (samp recomputed as forward)
-  d_weight_k = (mask_k·samp_k) @ gᵀ             (A·Bᵀ, accumulated in VMEM)
-  d_dx_k     = mask_k · Σ_c q_k ⊙ (win @ dEw)   dEw[j] = 1[j=x0+1] − 1[j=x0]
-  d_dy_k     = mask_k · Σ_c q_k ⊙ Σ_r dwy(r)·(win[r] @ Ew)
-  d_x[r]    += (q_k·mask_k·w_y(r)) @ Ewᵀ        (window RMW, like warp_bwd)
+With q = Wᵀ·g routed per tap k (one [K·C, C_out]@[C_out, 128] matmul) and
+mm = stack @ Ew3, mmx = stack @ dEw3 per kernel row:
+
+  d_mask_k   = Σ_c q_k ⊙ samp_k            samp_k = Σ_g w_y(g)·mm_k(g)
+  d_dy_k     = mask_k · Σ_c q_k ⊙ Σ_g dwy(g)·mm_k(g)   (mm reused)
+  d_dx_k     = mask_k · Σ_c q_k ⊙ Σ_g w_y(g)·mmx_k(g)
+  d_weight   = (mask·samp)_stacked9 @ gᵀ   (one A·Bᵀ per row)
+  d_x window += qs3 @ Ew3ᵀ                 qs3[gC+c, t·128+l] = q·m·w_y
+               (one [DRG·C, 3·128]@[3·128, XW] per kernel row,
+                accumulated in an XW-wide f32 window of the RMW buffer)
 
 The offset gradients use the floor-based two-tap convention
 (v_hi − v_lo), NOT the hat derivative: the hat's derivative is zero at
@@ -33,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from transmvsnet_tpu.ops.pallas.dcn_onehot import DR, K, ROWS, WIN
+from transmvsnet_tpu.ops.pallas.dcn_onehot import DRG, K, ROWS, WIN, XW
 
 
 def _bwd_kernel(
@@ -51,20 +62,25 @@ def _bwd_kernel(
     dw_ref,  # VMEM [K*C, C_out] f32, accumulated over the whole grid
     bigwin,  # scratch VMEM [WIN, C, W] bf16
     accwin,  # scratch VMEM [WIN, C, W] f32
+    xwin,  # scratch VMEM [WIN, C, XW_] bf16 (x-window of bigwin)
+    accx,  # scratch VMEM [WIN, C, XW_] f32 (x-window of accwin)
     sem0,
     sem1,
+    sem2,
     *,
     H: int,
     W: int,
     W_img: int,
     C: int,
     C_out: int,
+    XW_: int,
 ):
     del dxin_in  # same buffer as dxin_out; declared for the alias only
     b_idx = pl.program_id(0)
     strip = pl.program_id(1)
     n_chunks = W // 128
     kw = 3
+    windowed = XW_ != W
 
     @pl.when((b_idx == 0) & (strip == 0))
     def _init_dw():
@@ -96,12 +112,37 @@ def _bwd_kernel(
     copy.wait()
     rmw_read.wait()
 
-    j_iota_i = jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0)
+    j_iota_i = jax.lax.broadcasted_iota(jnp.int32, (XW_, 128), 0)
     j_iota = j_iota_i.astype(jnp.float32)
 
     for cx in range(n_chunks):
         sl = slice(cx * 128, cx * 128 + 128)
 
+        # 128-aligned x-window shared by the chunk (as the forward).
+        xmin_v = jnp.full((ROWS, 128), W_img - 1, jnp.int32)
+        for k in range(K):
+            x0k = jnp.floor(pxs[k][:, sl]).astype(jnp.int32)
+            okx = (x0k >= -1) & (x0k <= W_img - 1)
+            xmin_v = jnp.minimum(xmin_v, jnp.where(okx, x0k, W_img - 1))
+        xmin = jnp.clip((jnp.min(xmin_v) // 128) * 128, 0, max(W - XW_, 0))
+        xmin = pl.multiple_of(xmin, 128)
+
+        if windowed:
+            xcopy = pltpu.make_async_copy(
+                bigwin.at[:, :, pl.ds(xmin, XW_)], xwin, sem2
+            )
+            xcopy.start()
+            acopy = pltpu.make_async_copy(
+                accwin.at[:, :, pl.ds(xmin, XW_)], accx, sem1
+            )
+            acopy.start()
+            xcopy.wait()
+            acopy.wait()
+            win_ref, acc_ref = xwin, accx
+        else:
+            win_ref, acc_ref = bigwin, accwin
+
+        xminf = xmin.astype(jnp.float32)
         for i in range(ROWS):
             g_row = g_ref[0, i, :, sl]  # [C_out, 128] f32
             g_bf = g_row.astype(jnp.bfloat16)
@@ -110,82 +151,134 @@ def _bwd_kernel(
                 wcol_ref[...], g_bf, preferred_element_type=jnp.float32
             )  # [K·C, 128]
 
-            for k in range(K):
-                q_k = q_full[k * C : (k + 1) * C]  # [C, 128]
-                py_i = pys[k][i : i + 1, sl]
-                px_i = pxs[k][i : i + 1, sl]
-                m_i = mask_ref[0, k, i : i + 1, sl]
-
-                ew = jnp.maximum(0.0, 1.0 - jnp.abs(j_iota - px_i)).astype(
-                    jnp.bfloat16
-                )  # [W, 128]
-                x0 = jnp.floor(px_i).astype(jnp.int32)
-                dew = (
-                    (j_iota_i == x0 + 1).astype(jnp.float32)
-                    - (j_iota_i == x0).astype(jnp.float32)
-                ).astype(jnp.bfloat16)  # [W, 128]
-
-                y0 = jnp.floor(py_i).astype(jnp.int32)
-                y_loc = y0 - win_start
-                ok_i = (y0 >= -1) & (y0 <= H - 1)
-                r0 = jnp.clip(
-                    jnp.min(jnp.where(ok_i, y_loc, WIN - 1)), 0, WIN - DR
-                )
-
-                samp = jnp.zeros((C, 128), jnp.float32)
-                dsampy = jnp.zeros((C, 128), jnp.float32)
-                dsampx = jnp.zeros((C, 128), jnp.float32)
-                for dr in range(DR):
-                    wr = r0 + dr
-                    row_yi = win_start + wr
-                    row_y = row_yi.astype(jnp.float32)
-                    row_in = ((row_y >= 0.0) & (row_y <= float(H - 1))).astype(
-                        jnp.float32
+            msamps = []
+            for kr in range(3):
+                taps = (3 * kr, 3 * kr + 1, 3 * kr + 2)
+                # Shared candidate rows across the kernel row's taps
+                # (identical selection to the forward tap-grouped kernel).
+                r_min = jnp.full((1, 128), WIN - 1, jnp.int32)
+                y0s = []
+                for t in taps:
+                    y0t = jnp.floor(pys[t][i : i + 1, sl]).astype(jnp.int32)
+                    y0s.append(y0t)
+                    ok_t = (y0t >= -1) & (y0t <= H - 1)
+                    r_min = jnp.minimum(
+                        r_min, jnp.where(ok_t, y0t - win_start, WIN - 1)
                     )
-                    w_y = (
-                        jnp.maximum(0.0, 1.0 - jnp.abs(py_i - row_y)) * row_in
-                    )  # [1, 128]
-                    # Floor-convention y-derivative: +1 at y0+1, −1 at y0.
-                    wyd = (
-                        (row_yi == y0 + 1).astype(jnp.float32)
-                        - (row_yi == y0).astype(jnp.float32)
-                    ) * row_in
+                r0 = jnp.clip(jnp.min(r_min), 0, WIN - DRG)
 
-                    slab = bigwin[pl.ds(wr, 1), :, :][0]  # [C, W] bf16
-                    m = jnp.dot(slab, ew, preferred_element_type=jnp.float32)
-                    xd = jnp.dot(slab, dew, preferred_element_type=jnp.float32)
-                    samp = samp + m * w_y
-                    dsampy = dsampy + m * wyd
-                    dsampx = dsampx + xd * w_y
-
-                    dwin = jax.lax.dot_general(
-                        (q_k * (m_i * w_y)).astype(jnp.bfloat16),
-                        ew,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [C, W]
-                    accwin[pl.ds(wr, 1), :, :] = (
-                        accwin[pl.ds(wr, 1), :, :] + dwin[None]
+                ews = []
+                dews = []
+                for t in taps:
+                    pxw = pxs[t][i : i + 1, sl] - xminf  # [1, 128]
+                    ews.append(
+                        jnp.maximum(0.0, 1.0 - jnp.abs(j_iota - pxw)).astype(
+                            jnp.bfloat16
+                        )
                     )
+                    x0w = jnp.floor(pxw).astype(jnp.int32)
+                    dews.append(
+                        (
+                            (j_iota_i == x0w + 1).astype(jnp.float32)
+                            - (j_iota_i == x0w).astype(jnp.float32)
+                        ).astype(jnp.bfloat16)
+                    )
+                ew3 = jnp.concatenate(ews, axis=1)  # [XW_, 3·128]
+                dew3 = jnp.concatenate(dews, axis=1)
 
-                dm_ref[0, k, i : i + 1, sl] = jnp.sum(
-                    q_k * samp, axis=0, keepdims=True
+                stack = win_ref[pl.ds(r0, DRG), :, :].reshape(DRG * C, XW_)
+                mm = jnp.dot(
+                    stack, ew3, preferred_element_type=jnp.float32
+                )  # [DRG·C, 3·128]
+                mmx = jnp.dot(
+                    stack, dew3, preferred_element_type=jnp.float32
                 )
-                ddy_ref[0, k, i : i + 1, sl] = m_i * jnp.sum(
-                    q_k * dsampy, axis=0, keepdims=True
-                )
-                ddx_ref[0, k, i : i + 1, sl] = m_i * jnp.sum(
-                    q_k * dsampx, axis=0, keepdims=True
-                )
-                dwk = jax.lax.dot_general(
-                    (samp * m_i).astype(jnp.bfloat16),
-                    g_bf,
+
+                qs_blocks = [None] * 3
+                for tj, t in enumerate(taps):
+                    py_t = pys[t][i : i + 1, sl]
+                    y0_t = y0s[tj]
+                    m_t = mask_ref[0, t, i : i + 1, sl]
+                    q_t = q_full[t * C : (t + 1) * C]  # [C, 128]
+                    qm = q_t * m_t
+
+                    samp = jnp.zeros((C, 128), jnp.float32)
+                    dsampy = jnp.zeros((C, 128), jnp.float32)
+                    dsampx = jnp.zeros((C, 128), jnp.float32)
+                    qs_g = []
+                    for g in range(DRG):
+                        row_yi = win_start + r0 + g
+                        row_y = row_yi.astype(jnp.float32)
+                        row_in = (
+                            (row_y >= 0.0) & (row_y <= float(H - 1))
+                        ).astype(jnp.float32)
+                        w_y = (
+                            jnp.maximum(0.0, 1.0 - jnp.abs(py_t - row_y))
+                            * row_in
+                        )  # [1, 128]
+                        # Floor-convention y-derivative: +1 at y0+1, −1 at y0.
+                        wyd = (
+                            (row_yi == y0_t + 1).astype(jnp.float32)
+                            - (row_yi == y0_t).astype(jnp.float32)
+                        ) * row_in
+
+                        blk = mm[g * C : (g + 1) * C, tj * 128 : (tj + 1) * 128]
+                        samp = samp + blk * w_y
+                        dsampy = dsampy + blk * wyd
+                        dsampx = dsampx + (
+                            mmx[g * C : (g + 1) * C, tj * 128 : (tj + 1) * 128]
+                            * w_y
+                        )
+                        qs_g.append((qm * w_y).astype(jnp.bfloat16))
+
+                    dm_ref[0, t, i : i + 1, sl] = jnp.sum(
+                        q_t * samp, axis=0, keepdims=True
+                    )
+                    ddy_ref[0, t, i : i + 1, sl] = m_t * jnp.sum(
+                        q_t * dsampy, axis=0, keepdims=True
+                    )
+                    ddx_ref[0, t, i : i + 1, sl] = m_t * jnp.sum(
+                        q_t * dsampx, axis=0, keepdims=True
+                    )
+                    msamps.append((samp * m_t).astype(jnp.bfloat16))
+                    qs_blocks[tj] = qs_g
+
+                # Scatter the 3 taps' window gradients with one A·Bᵀ:
+                # dwin[gC+c, j] = Σ_{t,l} qs3[gC+c, t·128+l] · ew3[j, t·128+l].
+                qs3 = jnp.concatenate(
+                    [
+                        jnp.concatenate(
+                            [qs_blocks[tj][g] for tj in range(3)], axis=1
+                        )
+                        for g in range(DRG)
+                    ],
+                    axis=0,
+                )  # [DRG·C, 3·128]
+                dwin = jax.lax.dot_general(
+                    qs3,
+                    ew3,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [C, C_out]
-                dw_ref[k * C : (k + 1) * C, :] = (
-                    dw_ref[k * C : (k + 1) * C, :] + dwk
-                )
+                )  # [DRG·C, XW_]
+                acc_ref[pl.ds(r0, DRG), :, :] = acc_ref[
+                    pl.ds(r0, DRG), :, :
+                ] + dwin.reshape(DRG, C, XW_)
+
+            # One A·Bᵀ for all 9 taps' weight gradients.
+            mstack = jnp.concatenate(msamps, axis=0)  # [K·C, 128] bf16
+            dw_ref[...] = dw_ref[...] + jax.lax.dot_general(
+                mstack,
+                g_bf,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        if windowed:
+            aw = pltpu.make_async_copy(
+                accx, accwin.at[:, :, pl.ds(xmin, XW_)], sem1
+            )
+            aw.start()
+            aw.wait()
 
     rmw_write = pltpu.make_async_copy(
         accwin, dxin_out.at[b_idx, pl.ds(win_start, WIN), :, :], sem1
@@ -208,6 +301,7 @@ def _dcn_bwd_batched(
     C_out = weight.shape[-1]
     assert H % ROWS == 0 and H >= WIN, (H,)
     W = -(-W_img // 128) * 128
+    XW_ = min(XW, W)
     if W != W_img:
         pad = ((0, 0), (0, 0), (0, W - W_img), (0, 0))
         x = jnp.pad(x, pad)
@@ -225,7 +319,7 @@ def _dcn_bwd_batched(
     dxin0 = jnp.zeros((B, H, C, W), jnp.float32)
 
     kernel = functools.partial(
-        _bwd_kernel, H=H, W=W, W_img=W_img, C=C, C_out=C_out
+        _bwd_kernel, H=H, W=W, W_img=W_img, C=C, C_out=C_out, XW_=XW_
     )
     dxin, ddy, ddx, dm, dw = pl.pallas_call(
         kernel,
@@ -256,6 +350,9 @@ def _dcn_bwd_batched(
         scratch_shapes=[
             pltpu.VMEM((WIN, C, W), jnp.bfloat16),
             pltpu.VMEM((WIN, C, W), jnp.float32),
+            pltpu.VMEM((WIN, C, XW_), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, XW_), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

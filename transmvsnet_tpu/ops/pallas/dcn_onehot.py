@@ -40,8 +40,10 @@ def _kernel(
     out_ref,  # VMEM [1, ROWS, C_out, W] f32
     bigwin,  # scratch [WIN, C, W] bf16
     xwin,  # scratch [WIN, C, XW] bf16
+    xwin2,  # scratch [WIN, C, XW] bf16 (unused; shared scratch list)
     sem0,
     sem1,
+    sem2,
     *,
     H: int,
     W: int,
@@ -50,6 +52,7 @@ def _kernel(
     C_out: int,
     XW_: int,
 ):
+    del xwin2, sem2
     b_idx = pl.program_id(0)
     strip = pl.program_id(1)
     n_chunks = W // 128
@@ -152,8 +155,10 @@ def _kernel_tapgroup(
     out_ref,  # VMEM [1, ROWS, C_out, W] f32
     bigwin,  # scratch [WIN, C, W] bf16
     xwin,  # scratch [WIN, C, XW] bf16
+    xwin2,  # scratch [WIN, C, XW] bf16 (double-buffer partner)
     sem0,
     sem1,
+    sem2,
     *,
     H: int,
     W: int,
@@ -199,26 +204,43 @@ def _kernel_tapgroup(
         jax.lax.broadcasted_iota(jnp.int32, (XW_, 128), 0).astype(jnp.float32)
     )
 
-    for cx in range(n_chunks):
+    def chunk_xmin(cx):
         sl = slice(cx * 128, cx * 128 + 128)
-
         xmin_v = jnp.full((ROWS, 128), W_img - 1, jnp.int32)
         for k in range(K):
             x0k = jnp.floor(pxs[k][:, sl]).astype(jnp.int32)
             okx = (x0k >= -1) & (x0k <= W_img - 1)
             xmin_v = jnp.minimum(xmin_v, jnp.where(okx, x0k, W_img - 1))
         xmin = jnp.clip((jnp.min(xmin_v) // 128) * 128, 0, max(W - XW_, 0))
-        xmin = pl.multiple_of(xmin, 128)
+        return pl.multiple_of(xmin, 128)
 
-        if XW_ == W:
-            win_ref = bigwin
+    # Double-buffered x-window copies: issue chunk cx+1's window DMA
+    # before computing chunk cx (window extents depend only on offsets,
+    # already resident in VMEM).
+    dbuf = XW_ != W
+    bufs, sems = (xwin, xwin2), (sem1, sem2)
+    xmins = [chunk_xmin(cx) for cx in range(n_chunks)] if dbuf else None
+
+    def xw_copy(cx):
+        return pltpu.make_async_copy(
+            bigwin.at[:, :, pl.ds(xmins[cx], XW_)], bufs[cx % 2], sems[cx % 2]
+        )
+
+    if dbuf:
+        xw_copy(0).start()
+
+    for cx in range(n_chunks):
+        sl = slice(cx * 128, cx * 128 + 128)
+
+        if dbuf:
+            xmin = xmins[cx]
+            xw_copy(cx).wait()
+            if cx + 1 < n_chunks:
+                xw_copy(cx + 1).start()
+            win_ref = bufs[cx % 2]
         else:
-            xcopy = pltpu.make_async_copy(
-                bigwin.at[:, :, pl.ds(xmin, XW_)], xwin, sem1
-            )
-            xcopy.start()
-            xcopy.wait()
-            win_ref = xwin
+            xmin = jnp.int32(0)
+            win_ref = bigwin
 
         xminf = xmin.astype(jnp.float32)
         for i in range(ROWS):
@@ -286,9 +308,11 @@ def _kernel_fused(
     hminus,  # scratch [WIN, C, W] bf16 (holds x[l-1])
     bigwin,  # scratch [WIN, C, W] bf16 (sampling window)
     xwin,  # scratch [WIN, C, XW] bf16
+    xwin2,  # scratch [WIN, C, XW] bf16 (double-buffer partner)
     off_s,  # scratch [3*K, ROWS, W] f32 (dy even, dx odd rows; mask 18..26 sigmoided)
     sem0,
     sem1,
+    sem2,
     *,
     H: int,
     W: int,
@@ -380,26 +404,41 @@ def _kernel_fused(
         jax.lax.broadcasted_iota(jnp.int32, (XW_, 128), 0).astype(jnp.float32)
     )
 
-    for cx in range(n_chunks):
+    def chunk_xmin(cx):
         sl = slice(cx * 128, cx * 128 + 128)
-
         xmin_v = jnp.full((ROWS, 128), W_img - 1, jnp.int32)
         for k in range(K):
             x0k = jnp.floor(pxs[k][:, sl]).astype(jnp.int32)
             okx = (x0k >= -1) & (x0k <= W_img - 1)
             xmin_v = jnp.minimum(xmin_v, jnp.where(okx, x0k, W_img - 1))
         xmin = jnp.clip((jnp.min(xmin_v) // 128) * 128, 0, max(W - XW_, 0))
-        xmin = pl.multiple_of(xmin, 128)
+        return pl.multiple_of(xmin, 128)
 
-        if XW_ == W:
-            win_ref = bigwin
+    # Double-buffered x-window copies (as _kernel_tapgroup).
+    dbuf = XW_ != W
+    bufs, sems = (xwin, xwin2), (sem1, sem2)
+    xmins = [chunk_xmin(cx) for cx in range(n_chunks)] if dbuf else None
+
+    def xw_copy(cx):
+        return pltpu.make_async_copy(
+            bigwin.at[:, :, pl.ds(xmins[cx], XW_)], bufs[cx % 2], sems[cx % 2]
+        )
+
+    if dbuf:
+        xw_copy(0).start()
+
+    for cx in range(n_chunks):
+        sl = slice(cx * 128, cx * 128 + 128)
+
+        if dbuf:
+            xmin = xmins[cx]
+            xw_copy(cx).wait()
+            if cx + 1 < n_chunks:
+                xw_copy(cx + 1).start()
+            win_ref = bufs[cx % 2]
         else:
-            xcopy = pltpu.make_async_copy(
-                bigwin.at[:, :, pl.ds(xmin, XW_)], xwin, sem1
-            )
-            xcopy.start()
-            xcopy.wait()
-            win_ref = xwin
+            xmin = jnp.int32(0)
+            win_ref = bigwin
 
         xminf = xmin.astype(jnp.float32)
         for i in range(ROWS):
@@ -498,7 +537,9 @@ def _dcn_onehot_fused_batched(
             pltpu.VMEM((WIN, C, W), jnp.bfloat16),
             pltpu.VMEM((WIN, C, W), jnp.bfloat16),
             pltpu.VMEM((WIN, C, XW_), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, XW_), jnp.bfloat16),
             pltpu.VMEM((3 * K, ROWS, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -588,6 +629,8 @@ def _dcn_onehot_batched(
         scratch_shapes=[
             pltpu.VMEM((WIN, C, W), jnp.bfloat16),
             pltpu.VMEM((WIN, C, XW_), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, XW_), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

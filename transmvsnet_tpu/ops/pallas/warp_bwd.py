@@ -38,6 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from transmvsnet_tpu.ops.pallas.warp_onehot import _INVALID, DR, ROWS, WIN
 
+# x-window width, matching the forward's (warp_onehot uses min(384, W):
+# plane-sweep px spreads wider than the DCN's learned offsets).
+_XW = 384
+
 
 def _bwd_kernel(
     rel_ref,  # SMEM [1, 1, 3, 4]
@@ -52,13 +56,17 @@ def _bwd_kernel(
     dvw_ref,  # VMEM [1, 1, ROWS, W] f32, accumulated over d
     bigwin,  # scratch VMEM [WIN, C, W] bf16
     accwin,  # scratch VMEM [WIN, C, W] f32
+    xwin,  # scratch VMEM [WIN, C, XW_] bf16 (x-window of bigwin)
+    accx,  # scratch VMEM [WIN, C, XW_] f32 (x-window of accwin)
     sem0,
     sem1,
+    sem2,
     *,
     H: int,
     W: int,
     W_img: int,
     C: int,
+    XW_: int,
 ):
     del dsrc_in  # same buffer as dsrc_out; declared for the alias only
     b_idx = pl.program_id(0)
@@ -110,12 +118,17 @@ def _bwd_kernel(
     copy.wait()
     rmw_read.wait()
 
-    # Full-width hat columns: the scatter needs absolute j anyway, and the
-    # backward skips the forward's x-window narrowing (strictly more taps
-    # covered; in-window taps match the forward bit-for-bit).
+    # Windowed hat columns, mirroring the forward's 128-aligned x-window
+    # (the first-cut backward built full-width [W, 128] hats — at the
+    # 512x640 recipe shape that tripled both the VPU hat build and the
+    # matmul contraction; see PERFORMANCE.md "Backward kernel tuning").
+    # The window-gradient scatter lands in an XW-wide slice of the RMW
+    # accumulator, staged through VMEM DMAs per chunk.
     j_iota = (
-        jax.lax.broadcasted_iota(jnp.int32, (W, 128), 0).astype(jnp.float32)
+        jax.lax.broadcasted_iota(jnp.int32, (XW_, 128), 0).astype(jnp.float32)
     )
+    windowed = XW_ != W
+    x0 = jnp.floor(px).astype(jnp.int32)
 
     group = max(1, min(WIN, 128 // C))
     stacked = group >= DR
@@ -128,6 +141,31 @@ def _bwd_kernel(
         py_c = py[:, sl]
         y0_c = y0[:, sl]
 
+        x0_c = x0[:, sl]
+        x_ok_c = (x0_c >= -1) & (x0_c <= W_img - 1)
+        xmin = jnp.clip(
+            (jnp.min(jnp.where(x_ok_c, x0_c, W_img - 1)) // 128) * 128,
+            0,
+            max(W - XW_, 0),
+        )
+        xmin = pl.multiple_of(xmin, 128)
+
+        if windowed:
+            xcopy = pltpu.make_async_copy(
+                bigwin.at[:, :, pl.ds(xmin, XW_)], xwin, sem2
+            )
+            xcopy.start()
+            acopy = pltpu.make_async_copy(
+                accwin.at[:, :, pl.ds(xmin, XW_)], accx, sem1
+            )
+            acopy.start()
+            xcopy.wait()
+            acopy.wait()
+            win_ref, acc_ref = xwin, accx
+        else:
+            win_ref, acc_ref = bigwin, accwin
+        xminf = xmin.astype(jnp.float32)
+
         for i in range(ROWS):
             pxi = px_c[i : i + 1]  # [1, 128] absolute x
             pyi = py_c[i : i + 1]
@@ -135,9 +173,9 @@ def _bwd_kernel(
             vwl = vw_ref[0, 0, i : i + 1, sl]
             ql = gl * vwl * inv_c  # d(loss)/d(samp·ref) per lane
 
-            ew = jnp.maximum(0.0, 1.0 - jnp.abs(j_iota - pxi)).astype(
+            ew = jnp.maximum(0.0, 1.0 - jnp.abs(j_iota - (pxi - xminf))).astype(
                 jnp.bfloat16
-            )  # [W, 128]
+            )  # [XW_, 128]
 
             y_loc = y0_c[i : i + 1] - win_start
             ok_i = (y0_c[i : i + 1] >= -1) & (y0_c[i : i + 1] <= H - 1)
@@ -150,7 +188,7 @@ def _bwd_kernel(
 
             samp = jnp.zeros((C, 128), jnp.float32)
             if stacked:
-                stack = bigwin[pl.ds(r0, group), :, :].reshape(group * C, W)
+                stack = win_ref[pl.ds(r0, group), :, :].reshape(group * C, XW_)
                 m = jnp.dot(
                     stack, ew, preferred_element_type=jnp.float32
                 )  # [G·C, 128]
@@ -171,10 +209,10 @@ def _bwd_kernel(
                     ew,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [G·C, W]
-                accwin[pl.ds(r0, group), :, :] = accwin[
+                )  # [G·C, XW_]
+                acc_ref[pl.ds(r0, group), :, :] = acc_ref[
                     pl.ds(r0, group), :, :
-                ] + dwin.reshape(group, C, W)
+                ] + dwin.reshape(group, C, XW_)
             else:
                 for dr in range(DR):
                     wr = r0 + dr
@@ -183,7 +221,7 @@ def _bwd_kernel(
                     row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
                     w_y = w_y * row_in.astype(jnp.float32)
 
-                    slab = bigwin[pl.ds(wr, 1), :, :][0]  # [C, W] bf16
+                    slab = win_ref[pl.ds(wr, 1), :, :][0]  # [C, XW_] bf16
                     m = jnp.dot(slab, ew, preferred_element_type=jnp.float32)
                     samp = samp + m * w_y
 
@@ -192,9 +230,9 @@ def _bwd_kernel(
                         ew,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # [C, W]
-                    accwin[pl.ds(wr, 1), :, :] = (
-                        accwin[pl.ds(wr, 1), :, :] + dwin[None]
+                    )  # [C, XW_]
+                    acc_ref[pl.ds(wr, 1), :, :] = (
+                        acc_ref[pl.ds(wr, 1), :, :] + dwin[None]
                     )
 
             dref_ref[0, i, :, sl] = dref_ref[0, i, :, sl] + samp * ql
@@ -202,6 +240,13 @@ def _bwd_kernel(
             dvw_ref[0, 0, i : i + 1, sl] = (
                 dvw_ref[0, 0, i : i + 1, sl] + gl * sim_row
             )
+
+        if windowed:
+            aw = pltpu.make_async_copy(
+                accx, accwin.at[:, :, pl.ds(xmin, XW_)], sem1
+            )
+            aw.start()
+            aw.wait()
 
     rmw_write = pltpu.make_async_copy(
         accwin, dsrc_out.at[b_idx, s_idx, pl.ds(win_start, WIN), :, :], sem1
@@ -224,6 +269,7 @@ def _warp_wsum_bwd_batched(
     D = depth_values.shape[1]
     assert H % ROWS == 0 and H >= WIN, (H,)
     W = -(-W_img // 128) * 128
+    XW_ = min(_XW, W)
     if W != W_img:
         src_feas = jnp.pad(
             src_feas, ((0, 0), (0, 0), (0, 0), (0, W - W_img), (0, 0))
@@ -241,7 +287,9 @@ def _warp_wsum_bwd_batched(
     ref_t = ref_fea.transpose(0, 1, 3, 2)  # [B, H, C, W]
     dsrc0 = jnp.zeros((B, S, H, C, W), jnp.float32)
 
-    kernel = functools.partial(_bwd_kernel, H=H, W=W, W_img=W_img, C=C)
+    kernel = functools.partial(
+        _bwd_kernel, H=H, W=W, W_img=W_img, C=C, XW_=XW_
+    )
     dsrc, dref, dvw = pl.pallas_call(
         kernel,
         grid=(B, H // ROWS, S, D),
@@ -271,6 +319,9 @@ def _warp_wsum_bwd_batched(
         scratch_shapes=[
             pltpu.VMEM((WIN, C, W), jnp.bfloat16),
             pltpu.VMEM((WIN, C, W), jnp.float32),
+            pltpu.VMEM((WIN, C, XW_), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, XW_), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

@@ -44,8 +44,10 @@ def _correlate_strip(
     emit,  # fn(i, sl, sim_row [1, 128]) output writer
     bigwin,  # scratch VMEM [WIN, C, W] bf16
     xwin,  # scratch VMEM [WIN, C, XW] bf16
+    xwin2,  # scratch VMEM [WIN, C, XW] bf16 (double-buffer partner)
     sem0,
     sem1,
+    sem2,
     *,
     H: int,
     W: int,
@@ -86,30 +88,47 @@ def _correlate_strip(
         jax.lax.broadcasted_iota(jnp.int32, (XW, 128), 0).astype(jnp.float32)
     )
 
-    for cx in range(n_chunks):
+    def chunk_xmin(cx):
         sl = slice(cx * 128, cx * 128 + 128)
         x0_c = x0[:, sl]
-        y0_c = y0[:, sl]
-        px_c = px[:, sl]
-        py_c = py[:, sl]
-
         x_ok_c = (x0_c >= -1) & (x0_c <= W_img - 1)
         xmin = jnp.clip(
             (jnp.min(jnp.where(x_ok_c, x0_c, W_img - 1)) // 128) * 128,
             0,
             max(W - XW, 0),
         )
-        xmin = pl.multiple_of(xmin, 128)
+        return pl.multiple_of(xmin, 128)
 
-        if XW == W:
-            win_ref = bigwin
+    # Double-buffered x-window copies: chunk cx+1's window DMA is issued
+    # before chunk cx's compute (extents depend only on the projection,
+    # already computed).
+    dbuf = XW != W
+    bufs, sems = (xwin, xwin2), (sem1, sem2)
+    xmins = [chunk_xmin(cx) for cx in range(n_chunks)] if dbuf else None
+
+    def xw_copy(cx):
+        return pltpu.make_async_copy(
+            bigwin.at[:, :, pl.ds(xmins[cx], XW)], bufs[cx % 2], sems[cx % 2]
+        )
+
+    if dbuf:
+        xw_copy(0).start()
+
+    for cx in range(n_chunks):
+        sl = slice(cx * 128, cx * 128 + 128)
+        y0_c = y0[:, sl]
+        px_c = px[:, sl]
+        py_c = py[:, sl]
+
+        if dbuf:
+            xmin = xmins[cx]
+            xw_copy(cx).wait()
+            if cx + 1 < n_chunks:
+                xw_copy(cx + 1).start()
+            win_ref = bufs[cx % 2]
         else:
-            xcopy = pltpu.make_async_copy(
-                bigwin.at[:, :, pl.ds(xmin, XW)], xwin, sem1
-            )
-            xcopy.start()
-            xcopy.wait()
-            win_ref = xwin
+            xmin = jnp.int32(0)
+            win_ref = bigwin
 
         xminf = xmin.astype(jnp.float32)
         # Measured dispatch (v5e): when one stacked [G·C, XW] @ [XW, 128]
@@ -176,8 +195,10 @@ def _kernel(
     out_ref,  # VMEM [1, 1, ROWS, W] f32
     bigwin,  # scratch VMEM [WIN, C, W] bf16
     xwin,  # scratch VMEM [WIN, C, XW] bf16
+    xwin2,  # scratch VMEM [WIN, C, XW] bf16
     sem0,
     sem1,
+    sem2,
     *,
     H: int,
     W: int,
@@ -200,8 +221,10 @@ def _kernel(
         emit,
         bigwin,
         xwin,
+        xwin2,
         sem0,
         sem1,
+        sem2,
         H=H,
         W=W,
         W_img=W_img,
@@ -255,6 +278,8 @@ def _warp_onehot_batched(
         scratch_shapes=[
             pltpu.VMEM((WIN, C, W), jnp.bfloat16),
             pltpu.VMEM((WIN, C, XW), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, XW), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -295,8 +320,10 @@ def _wsum_kernel(
     out_ref,  # VMEM [1, 1, ROWS, W] f32, accumulated over s
     bigwin,
     xwin,
+    xwin2,
     sem0,
     sem1,
+    sem2,
     *,
     H: int,
     W: int,
@@ -328,8 +355,10 @@ def _wsum_kernel(
         emit,
         bigwin,
         xwin,
+        xwin2,
         sem0,
         sem1,
+        sem2,
         H=H,
         W=W,
         W_img=W_img,
@@ -394,6 +423,8 @@ def _warp_onehot_wsum_batched(
         scratch_shapes=[
             pltpu.VMEM((WIN, C, W), jnp.bfloat16),
             pltpu.VMEM((WIN, C, XW), jnp.bfloat16),
+            pltpu.VMEM((WIN, C, XW), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
