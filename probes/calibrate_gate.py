@@ -155,24 +155,37 @@ def main():
         )
         gt_root = os.path.join(tmp, "gt")
         materialize_gt(gt_root, scene, scan_id=1)
+        # GATE_FILTER=normal calibrates the upstream fixed-threshold filter
+        # path (reference README.md:149-152 ablation row) on the same gate
+        # scenes; default calibrates the dynamic vote-ladder.
+        filter_method = os.environ.get("GATE_FILTER", "dynamic")
         for photo in ("0.1", "0.3", "0.5"):
             plydir = os.path.join(tmp, f"plys_{photo}")
-            fuse.main(
-                [
-                    "--testpath", outdir, "--testlist", listfile,
-                    "--outdir", plydir, "--test_dataset", "dtu",
-                    "--photo_threshold", photo,
-                    "--thres_view", "2",
-                    "--dist_scale", "2", "--rel_diff_scale", "8",
-                    "--num_workers", "1",
-                ]
-            )
+            fuse_args = [
+                "--testpath", outdir, "--testlist", listfile,
+                "--outdir", plydir, "--test_dataset", "dtu",
+                "--filter_method", filter_method,
+                "--photo_threshold", photo,
+                "--num_workers", "1",
+            ]
+            if filter_method == "normal":
+                # Upstream thresholds are 1 px / 0.01 rel-depth on DTU-sized
+                # images; the gate scenes are 64x96 with a tiny model, so
+                # loosen by the same factors the dynamic calibration uses
+                # (dist_scale=2, rel_diff_scale=8).
+                fuse_args += ["--geo_pixel_thres", "2.0",
+                              "--geo_depth_thres", "0.08"]
+            else:
+                fuse_args += ["--thres_view", "2",
+                              "--dist_scale", "2", "--rel_diff_scale", "8"]
+            fuse.main(fuse_args)
             result = evaluate_dtu(plydir, gt_root, scan_ids=[1])
             print(
                 json.dumps(
                     {
                         "seed": seed,
                         "epochs": epochs,
+                        "filter": filter_method,
                         "photo": photo,
                         "overall": result["overall"],
                         "acc": result["acc_mean"],

@@ -43,6 +43,30 @@ class TestDCNOnehot:
         )
         assert np.median(np.abs(got - expected)) < 2e-2 * scale
 
+    def test_windowed_width_w384(self):
+        # W=384 > XW=256: the windowed x-window branch (and double-buffered
+        # DMA path) that all production shapes run through. Comparison
+        # excludes the chunk-boundary lanes (x % 128 in {125,126,127})
+        # where the snapped window legitimately drops the +1 tap — the
+        # truncation contract stated in the kernel docstrings.
+        W = 384
+        x, dy, dx, mask, w, b = make_inputs(
+            B=1, H=16, W=W, C=8, C_out=8, off_scale=0.0
+        )
+        dy = smooth_offsets(1, 16, W, 9, amplitude=1.0, seed=7)
+        dx = smooth_offsets(1, 16, W, 9, amplitude=1.0, seed=8)
+        expected = np.asarray(deform_conv2d(x, dy, dx, mask, w, b))
+        got = np.asarray(
+            deform_conv2d_onehot(x, dy, dx, mask, w, b, interpret=True)
+        )
+        keep = ~np.isin(np.arange(W) % 128, (125, 126, 127))
+        scale = np.abs(expected).max()
+        np.testing.assert_allclose(
+            got[:, :, keep] / scale, expected[:, :, keep] / scale,
+            rtol=0, atol=4e-2,
+        )
+        assert np.median(np.abs(got - expected)) < 2e-2 * scale
+
     def test_unpadded_width(self):
         x, dy, dx, mask, w, b = make_inputs(
             B=1, H=24, W=96, C=16, C_out=8, off_scale=0.0
@@ -81,6 +105,18 @@ class TestWarpOnehot:
         )
         close = np.isclose(got, expected, rtol=3e-2, atol=3e-2)
         assert close.mean() > 0.995, close.mean()
+
+    def test_windowed_width_w512(self):
+        # W=512 > XW=384: the windowed + double-buffered branch the
+        # production warp shapes (W=640/1152) run through.
+        src, ref, sp, rp, dv = scene(H=16, W=512, C=8, D=2)
+        expected = np.asarray(warp_correlate(src, ref, sp, rp, dv))
+        got = np.asarray(
+            warp_correlate_onehot(src, ref, sp, rp, dv, interpret=True)
+        )
+        close = np.isclose(got, expected, rtol=3e-2, atol=3e-2)
+        assert close.mean() > 0.995, close.mean()
+        assert np.median(np.abs(got - expected)) < 5e-3
 
 
 class TestDCNOnehotFused:

@@ -33,6 +33,15 @@ receive exactly zero gradient at step 0 and never train. The floor
 convention matches torchvision's deform_conv2d backward
 (reference models/dcn.py:66-80) and the XLA path's autodiff
 (ops/sampling.bilinear_gather_cf linearizes to v_hi − v_lo).
+
+Window-truncation contract (mirrors the forward's lane-locally-smooth
+offset contract): gradients follow the forward's 128-aligned x-window
+truncation. When W > XW and a chunk's xmin snaps down, the +1-column tap
+of the chunk's last lanes (x mod 128 ∈ {126, 127}) can fall outside
+[xmin, xmin+XW); those taps contribute nothing to the forward output and
+therefore nothing to d_x / d_offset / d_mask there — consistent with the
+truncated forward, but deviating from the untruncated DCN gradients at
+exactly those lanes (tests/test_pallas_bwd.py windowed cases pin the rest).
 """
 
 from __future__ import annotations
@@ -287,15 +296,18 @@ def _bwd_kernel(
     rmw_write.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "offsets_cf")
+)
 def _dcn_bwd_batched(
     x: jax.Array,  # [B, H, W, C] bf16
-    dy: jax.Array,  # [B, H, W, K] f32
+    dy: jax.Array,  # [B, H, W, K] f32 (offsets_cf: [B, K, H, W])
     dx: jax.Array,
     mask: jax.Array,
     weight: jax.Array,  # [K, C, C_out]
     g: jax.Array,  # [B, H, W, C_out] f32 cotangent
     interpret: bool = False,
+    offsets_cf: bool = False,
 ):
     B, H, W_img, C = x.shape
     C_out = weight.shape[-1]
@@ -305,16 +317,25 @@ def _dcn_bwd_batched(
     if W != W_img:
         pad = ((0, 0), (0, 0), (0, W - W_img), (0, 0))
         x = jnp.pad(x, pad)
-        dy = jnp.pad(dy, pad)
-        dx = jnp.pad(dx, pad)
-        mask = jnp.pad(mask, pad)
         g = jnp.pad(g, pad)
+        pad_off = (
+            ((0, 0), (0, 0), (0, 0), (0, W - W_img)) if offsets_cf else pad
+        )
+        dy = jnp.pad(dy, pad_off)
+        dx = jnp.pad(dx, pad_off)
+        mask = jnp.pad(mask, pad_off)
 
     x_t = x.transpose(0, 1, 3, 2)  # [B, H, C, W]
     g_t = g.transpose(0, 1, 3, 2)  # [B, H, C_out, W]
-    dy_t = dy.transpose(0, 3, 1, 2)  # [B, K, H, W]
-    dx_t = dx.transpose(0, 3, 1, 2)
-    m_t = mask.transpose(0, 3, 1, 2)
+    if offsets_cf:
+        # Offsets already in the kernel's native [B, K, H, W] layout
+        # (the channels-first offset-conv path, vjp._offset_conv_cf) —
+        # no lane-axis relayout in or out.
+        dy_t, dx_t, m_t = dy, dx, mask
+    else:
+        dy_t = dy.transpose(0, 3, 1, 2)  # [B, K, H, W]
+        dx_t = dx.transpose(0, 3, 1, 2)
+        m_t = mask.transpose(0, 3, 1, 2)
     w_col = weight.reshape(K * C, C_out)  # tap-major rows
     dxin0 = jnp.zeros((B, H, C, W), jnp.float32)
 
@@ -368,15 +389,20 @@ def _dcn_bwd_batched(
         dxin0,
     )
     dxin = dxin.transpose(0, 1, 3, 2)[:, :, :W_img]  # [B, H, W, C]
-    ddy = ddy.transpose(0, 2, 3, 1)[:, :, :W_img]  # [B, H, W, K]
-    ddx = ddx.transpose(0, 2, 3, 1)[:, :, :W_img]
-    dm = dm.transpose(0, 2, 3, 1)[:, :, :W_img]
+    if offsets_cf:
+        ddy = ddy[:, :, :, :W_img]  # [B, K, H, W]
+        ddx = ddx[:, :, :, :W_img]
+        dm = dm[:, :, :, :W_img]
+    else:
+        ddy = ddy.transpose(0, 2, 3, 1)[:, :, :W_img]  # [B, H, W, K]
+        ddx = ddx.transpose(0, 2, 3, 1)[:, :, :W_img]
+        dm = dm.transpose(0, 2, 3, 1)[:, :, :W_img]
     return dxin, ddy, ddx, dm, dw.reshape(K, C, C_out)
 
 
 def deform_conv2d_bwd(
     x: jax.Array,  # [B, H, W, C]
-    offset_y: jax.Array,  # [B, H, W, K]
+    offset_y: jax.Array,  # [B, H, W, K] (offsets_cf: [B, K, H, W])
     offset_x: jax.Array,
     mask: jax.Array,
     weight: jax.Array,  # [K, C, C_out]
@@ -385,10 +411,14 @@ def deform_conv2d_bwd(
     padding: int = 1,
     dilation: int = 1,
     interpret: bool = False,
+    offsets_cf: bool = False,
 ):
     """Gradients (dx, d_offset_y, d_offset_x, d_mask, d_weight), all f32.
 
     d_bias is a plain sum of the cotangent — callers compute it in XLA.
+    With ``offsets_cf`` the offset/mask inputs AND their gradients use the
+    kernel's native channels-first [B, K, H, W] layout (the fused-DCN
+    backward path; skips four lane-axis transposes per layer).
     """
     assert stride == 1 and padding == 1 and dilation == 1
     return _dcn_bwd_batched(
@@ -399,4 +429,5 @@ def deform_conv2d_bwd(
         weight,
         g.astype(jnp.float32),
         interpret=interpret,
+        offsets_cf=offsets_cf,
     )

@@ -27,8 +27,13 @@ K = 9
 # Tap-grouped variant: candidate rows shared by the 3 taps of one kernel
 # row (their sample rows differ only by the per-tap offsets, which are
 # lane-locally smooth and small) — one extra row of margin over DR covers
-# the inter-tap spread.
-DRG = 5
+# the inter-tap spread. DRG=4 is ~9 ms/layer faster at full res but costs
+# 2.4% pixel agreement at sigma=0.5 offsets (PERFORMANCE.md "DCN forward");
+# the env override exists for accuracy-gate A/B runs of that knob
+# (dcn_bwd imports this value, so forward and backward stay consistent).
+import os as _os
+
+DRG = int(_os.environ.get("TMVS_DCN_DRG", "5"))
 
 
 def _kernel(
@@ -166,6 +171,7 @@ def _kernel_tapgroup(
     C: int,
     C_out: int,
     XW_: int,
+    pipeline_hats: bool = False,
 ):
     """MXU-batched variant of ``_kernel``: the 3 taps of each kernel row
     share one candidate-row stack and one [DRG·C, XW]@[XW, 3·128] matmul
@@ -243,58 +249,76 @@ def _kernel_tapgroup(
             win_ref = bigwin
 
         xminf = xmin.astype(jnp.float32)
-        for i in range(ROWS):
-            msamps = []
-            for kr in range(3):
-                taps = (3 * kr, 3 * kr + 1, 3 * kr + 2)
-                # Shared candidate rows across the kernel row's taps.
-                r_min = jnp.full((1, 128), WIN - 1, jnp.int32)
-                for t in taps:
-                    y0t = jnp.floor(pys[t][i : i + 1, sl]).astype(jnp.int32)
-                    ok_t = (y0t >= -1) & (y0t <= H - 1)
-                    r_min = jnp.minimum(
-                        r_min, jnp.where(ok_t, y0t - win_start, WIN - 1)
-                    )
-                r0 = jnp.clip(jnp.min(r_min), 0, WIN - DRG)
 
-                ew3 = jnp.concatenate(
-                    [
-                        jnp.maximum(
-                            0.0,
-                            1.0
-                            - jnp.abs(
-                                j_iota - (pxs[t][i : i + 1, sl] - xminf)
-                            ),
-                        ).astype(jnp.bfloat16)
-                        for t in taps
-                    ],
-                    axis=1,
-                )  # [XW_, 3*128]
-
-                stack = win_ref[pl.ds(r0, DRG), :, :].reshape(DRG * C, XW_)
-                mm = jnp.dot(
-                    stack, ew3, preferred_element_type=jnp.float32
-                )  # [DRG*C, 3*128]
-
-                for tj, t in enumerate(taps):
-                    py_t = pys[t][i : i + 1, sl]
-                    samp = jnp.zeros((C, 128), jnp.float32)
-                    for g in range(DRG):
-                        row_y = (win_start + r0 + g).astype(jnp.float32)
-                        w_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_t - row_y))
-                        row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
-                        w_y = w_y * row_in.astype(jnp.float32)
-                        samp = samp + (
-                            mm[g * C : (g + 1) * C, tj * 128 : (tj + 1) * 128]
-                            * w_y
-                        )
-                    m_t = mask_ref[0, t, i : i + 1, sl]
-                    msamps.append((samp * m_t).astype(jnp.bfloat16))
-
-            mstack = jnp.concatenate(msamps, axis=0)  # [K*C, 128] bf16
-            out_ref[0, i, :, sl] = jnp.dot(
-                w_ref[...], mstack, preferred_element_type=jnp.float32
+        def build_ew3(i, kr):
+            # VPU hat build for kernel row kr of output row i: the 3 taps'
+            # hat matrices lane-concatenated, [XW_, 3*128] bf16.
+            return jnp.concatenate(
+                [
+                    jnp.maximum(
+                        0.0,
+                        1.0
+                        - jnp.abs(j_iota - (pxs[t][i : i + 1, sl] - xminf)),
+                    ).astype(jnp.bfloat16)
+                    for t in (3 * kr, 3 * kr + 1, 3 * kr + 2)
+                ],
+                axis=1,
             )
+
+        # Software pipeline (pipeline_hats): build iteration idx+1's hat
+        # matrices BEFORE issuing iteration idx's MXU matmul, so the VPU
+        # hat build (measured 17.6 of 40 ms/layer at full res, ~at VPU
+        # peak) and the MXU contraction are adjacent independent work the
+        # scheduler can overlap instead of a strict build->matmul chain.
+        iters = [(i, kr) for i in range(ROWS) for kr in range(3)]
+        if pipeline_hats:
+            nxt = build_ew3(*iters[0])
+        msamps = []
+        for idx, (i, kr) in enumerate(iters):
+            taps = (3 * kr, 3 * kr + 1, 3 * kr + 2)
+            # Shared candidate rows across the kernel row's taps.
+            r_min = jnp.full((1, 128), WIN - 1, jnp.int32)
+            for t in taps:
+                y0t = jnp.floor(pys[t][i : i + 1, sl]).astype(jnp.int32)
+                ok_t = (y0t >= -1) & (y0t <= H - 1)
+                r_min = jnp.minimum(
+                    r_min, jnp.where(ok_t, y0t - win_start, WIN - 1)
+                )
+            r0 = jnp.clip(jnp.min(r_min), 0, WIN - DRG)
+
+            if pipeline_hats:
+                ew3 = nxt
+                if idx + 1 < len(iters):
+                    nxt = build_ew3(*iters[idx + 1])
+            else:
+                ew3 = build_ew3(i, kr)  # [XW_, 3*128]
+
+            stack = win_ref[pl.ds(r0, DRG), :, :].reshape(DRG * C, XW_)
+            mm = jnp.dot(
+                stack, ew3, preferred_element_type=jnp.float32
+            )  # [DRG*C, 3*128]
+
+            for tj, t in enumerate(taps):
+                py_t = pys[t][i : i + 1, sl]
+                samp = jnp.zeros((C, 128), jnp.float32)
+                for g in range(DRG):
+                    row_y = (win_start + r0 + g).astype(jnp.float32)
+                    w_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_t - row_y))
+                    row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
+                    w_y = w_y * row_in.astype(jnp.float32)
+                    samp = samp + (
+                        mm[g * C : (g + 1) * C, tj * 128 : (tj + 1) * 128]
+                        * w_y
+                    )
+                m_t = mask_ref[0, t, i : i + 1, sl]
+                msamps.append((samp * m_t).astype(jnp.bfloat16))
+
+            if kr == 2:
+                mstack = jnp.concatenate(msamps, axis=0)  # [K*C, 128] bf16
+                msamps = []
+                out_ref[0, i, :, sl] = jnp.dot(
+                    w_ref[...], mstack, preferred_element_type=jnp.float32
+                )
 
 
 def _kernel_fused(
@@ -320,6 +344,7 @@ def _kernel_fused(
     C: int,
     C_out: int,
     XW_: int,
+    pipeline_hats: bool = False,
 ):
     """DCNv2 with the offset/mask conv FUSED into the kernel.
 
@@ -441,60 +466,74 @@ def _kernel_fused(
             win_ref = bigwin
 
         xminf = xmin.astype(jnp.float32)
-        for i in range(ROWS):
-            msamps = []
-            for kr in range(3):
-                taps = (3 * kr, 3 * kr + 1, 3 * kr + 2)
-                r_min = jnp.full((1, 128), WIN - 1, jnp.int32)
-                for t in taps:
-                    y0t = jnp.floor(pys[t][i : i + 1, sl]).astype(jnp.int32)
-                    ok_t = (y0t >= -1) & (y0t <= H - 1)
-                    r_min = jnp.minimum(
-                        r_min, jnp.where(ok_t, y0t - win_start, WIN - 1)
-                    )
-                r0 = jnp.clip(jnp.min(r_min), 0, WIN - DRG)
 
-                ew3 = jnp.concatenate(
-                    [
-                        jnp.maximum(
-                            0.0,
-                            1.0
-                            - jnp.abs(
-                                j_iota - (pxs[t][i : i + 1, sl] - xminf)
-                            ),
-                        ).astype(jnp.bfloat16)
-                        for t in taps
-                    ],
-                    axis=1,
-                )  # [XW_, 3*128]
-
-                stack = win_ref[pl.ds(r0, DRG), :, :].reshape(DRG * C, XW_)
-                mm = jnp.dot(
-                    stack, ew3, preferred_element_type=jnp.float32
-                )  # [DRG*C, 3*128]
-
-                for tj, t in enumerate(taps):
-                    py_t = pys[t][i : i + 1, sl]
-                    samp = jnp.zeros((C, 128), jnp.float32)
-                    for g in range(DRG):
-                        row_y = (win_start + r0 + g).astype(jnp.float32)
-                        w_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_t - row_y))
-                        row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
-                        w_y = w_y * row_in.astype(jnp.float32)
-                        samp = samp + (
-                            mm[g * C : (g + 1) * C, tj * 128 : (tj + 1) * 128]
-                            * w_y
-                        )
-                    m_t = off_s[2 * K + t, i : i + 1, sl]
-                    msamps.append((samp * m_t).astype(jnp.bfloat16))
-
-            mstack = jnp.concatenate(msamps, axis=0)  # [K*C, 128] bf16
-            out_ref[0, i, :, sl] = jnp.dot(
-                w_ref[...], mstack, preferred_element_type=jnp.float32
+        def build_ew3(i, kr):
+            return jnp.concatenate(
+                [
+                    jnp.maximum(
+                        0.0,
+                        1.0
+                        - jnp.abs(j_iota - (pxs[t][i : i + 1, sl] - xminf)),
+                    ).astype(jnp.bfloat16)
+                    for t in (3 * kr, 3 * kr + 1, 3 * kr + 2)
+                ],
+                axis=1,
             )
 
+        # Software-pipelined hat builds (see _kernel_tapgroup).
+        iters = [(i, kr) for i in range(ROWS) for kr in range(3)]
+        if pipeline_hats:
+            nxt = build_ew3(*iters[0])
+        msamps = []
+        for idx, (i, kr) in enumerate(iters):
+            taps = (3 * kr, 3 * kr + 1, 3 * kr + 2)
+            r_min = jnp.full((1, 128), WIN - 1, jnp.int32)
+            for t in taps:
+                y0t = jnp.floor(pys[t][i : i + 1, sl]).astype(jnp.int32)
+                ok_t = (y0t >= -1) & (y0t <= H - 1)
+                r_min = jnp.minimum(
+                    r_min, jnp.where(ok_t, y0t - win_start, WIN - 1)
+                )
+            r0 = jnp.clip(jnp.min(r_min), 0, WIN - DRG)
 
-@functools.partial(jax.jit, static_argnames=("interpret", "xw"))
+            if pipeline_hats:
+                ew3 = nxt
+                if idx + 1 < len(iters):
+                    nxt = build_ew3(*iters[idx + 1])
+            else:
+                ew3 = build_ew3(i, kr)  # [XW_, 3*128]
+
+            stack = win_ref[pl.ds(r0, DRG), :, :].reshape(DRG * C, XW_)
+            mm = jnp.dot(
+                stack, ew3, preferred_element_type=jnp.float32
+            )  # [DRG*C, 3*128]
+
+            for tj, t in enumerate(taps):
+                py_t = pys[t][i : i + 1, sl]
+                samp = jnp.zeros((C, 128), jnp.float32)
+                for g in range(DRG):
+                    row_y = (win_start + r0 + g).astype(jnp.float32)
+                    w_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_t - row_y))
+                    row_in = (row_y >= 0.0) & (row_y <= float(H - 1))
+                    w_y = w_y * row_in.astype(jnp.float32)
+                    samp = samp + (
+                        mm[g * C : (g + 1) * C, tj * 128 : (tj + 1) * 128]
+                        * w_y
+                    )
+                m_t = off_s[2 * K + t, i : i + 1, sl]
+                msamps.append((samp * m_t).astype(jnp.bfloat16))
+
+            if kr == 2:
+                mstack = jnp.concatenate(msamps, axis=0)  # [K*C, 128] bf16
+                msamps = []
+                out_ref[0, i, :, sl] = jnp.dot(
+                    w_ref[...], mstack, preferred_element_type=jnp.float32
+                )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "xw", "pipeline_hats")
+)
 def _dcn_onehot_fused_batched(
     x: jax.Array,  # [B, H, W, C] bf16
     k_off: jax.Array,  # [3, 3, C, 3*K] offset-conv kernel (HWIO)
@@ -502,6 +541,7 @@ def _dcn_onehot_fused_batched(
     weight: jax.Array,  # [K, C, C_out]
     interpret: bool = False,
     xw: int = XW,
+    pipeline_hats: bool = False,
 ) -> jax.Array:
     B, H, W_img, C = x.shape
     C_out = weight.shape[-1]
@@ -518,7 +558,8 @@ def _dcn_onehot_fused_batched(
     woff = k_off.transpose(3, 0, 1, 2).reshape(3 * K, K * C)
 
     kernel = functools.partial(
-        _kernel_fused, H=H, W=W, W_img=W_img, C=C, C_out=C_out, XW_=XW_
+        _kernel_fused, H=H, W=W, W_img=W_img, C=C, C_out=C_out, XW_=XW_,
+        pipeline_hats=pipeline_hats,
     )
     out = pl.pallas_call(
         kernel,
@@ -561,6 +602,7 @@ def deform_conv2d_onehot_fused(
     bias: jax.Array | None = None,
     interpret: bool = False,
     xw: int = XW,
+    pipeline_hats: bool = False,
 ) -> jax.Array:
     """DCNv2 with the offset/mask conv computed inside the kernel.
 
@@ -575,13 +617,16 @@ def deform_conv2d_onehot_fused(
         weight,
         interpret=interpret,
         xw=xw,
+        pipeline_hats=pipeline_hats,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "xw", "tap_grouped"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "xw", "tap_grouped", "pipeline_hats")
+)
 def _dcn_onehot_batched(
     x: jax.Array,  # [B, H, W, C] bf16
     dy: jax.Array,  # [B, H, W, K] f32
@@ -591,6 +636,7 @@ def _dcn_onehot_batched(
     interpret: bool = False,
     xw: int = XW,
     tap_grouped: bool = True,
+    pipeline_hats: bool = False,
 ) -> jax.Array:
     B, H, W_img, C = x.shape
     C_out = weight.shape[-1]
@@ -613,6 +659,7 @@ def _dcn_onehot_batched(
     kernel = functools.partial(
         _kernel_tapgroup if tap_grouped else _kernel,
         H=H, W=W, W_img=W_img, C=C, C_out=C_out, XW_=XW_,
+        **({"pipeline_hats": pipeline_hats} if tap_grouped else {}),
     )
     out = pl.pallas_call(
         kernel,
@@ -658,6 +705,7 @@ def deform_conv2d_onehot(
     interpret: bool = False,
     xw: int = XW,
     tap_grouped: bool = True,
+    pipeline_hats: bool = False,
 ) -> jax.Array:
     """Batched DCNv2, one-hot MXU kernel (bf16 inference path)."""
     assert stride == 1 and padding == 1 and dilation == 1
@@ -670,6 +718,7 @@ def deform_conv2d_onehot(
         interpret=interpret,
         xw=xw,
         tap_grouped=tap_grouped,
+        pipeline_hats=pipeline_hats,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)

@@ -211,6 +211,59 @@ def split_offsets(off):
     return cat[..., 0::2], cat[..., 1::2], jax.nn.sigmoid(m)
 
 
+def _offset_conv_cf(x, k_off, b_off):
+    """The offset/mask conv as ONE channels-first matmul, off [B, 3K, H, W].
+
+    Channel c equals NHWC channel c of ``_offset_conv`` — same math — but
+    expressed as a [3K, 9C] @ [9C, B·H·W] matmul over a channels-first
+    im2col of x. One matmul, not nine: profiled on-chip, per-tap dots each
+    re-write the [3K, B·H·W] f32 accumulator (8 × ~350 MB of HBM traffic,
+    0.64 ms apiece); the packed contraction touches the accumulator once.
+    Its autodiff is transposed matmuls of the same shapes, so the
+    fused-DCN backward avoids XLA's transposed-layout conv backward and
+    the lane-axis interleave/split relayouts (the forward conv runs
+    inside the Pallas kernel; this path exists for the backward recompute
+    only — see deform_conv2d_fused_with_vjp).
+    """
+    B, H, W, C = x.shape
+    KK = k_off.shape[-1]  # 3K
+    xt = x.transpose(3, 0, 1, 2).astype(jnp.bfloat16)  # [C, B, H, W]
+    xp = jnp.pad(xt, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    if C <= 8:
+        # Packed single contraction (measured best at C=8: the 9C=72-row
+        # im2col is cheap and the f32 accumulator is touched once).
+        cols = jnp.concatenate(
+            [
+                jax.lax.slice(xp, (0, 0, i, j), (C, B, i + H, j + W))
+                for i in range(3)
+                for j in range(3)
+            ],
+            axis=0,
+        ).reshape(9 * C, B * H * W)
+        # Tap-major rows matching the im2col stack order (dy outer, dx
+        # inner).
+        wt = (
+            k_off.transpose(3, 0, 1, 2)
+            .reshape(KK, 9 * C)
+            .astype(jnp.bfloat16)
+        )
+        off = jnp.dot(wt, cols, preferred_element_type=jnp.float32)
+    else:
+        # Per-tap dots (measured best at C=16/32, where the 9C-row im2col
+        # materialization outweighs the repeated accumulator updates).
+        off = None
+        for i in range(3):
+            for j in range(3):
+                sl = jax.lax.slice(
+                    xp, (0, 0, i, j), (C, B, i + H, j + W)
+                ).reshape(C, B * H * W)
+                wt = k_off[i, j].transpose(1, 0).astype(jnp.bfloat16)
+                part = jnp.dot(wt, sl, preferred_element_type=jnp.float32)
+                off = part if off is None else off + part
+    off = off.reshape(KK, B, H, W).transpose(1, 0, 2, 3)
+    return off + b_off.astype(jnp.float32)[None, :, None, None]
+
+
 def deform_conv2d_fused_with_vjp(
     pallas_fwd: Callable, pallas_bwd: Callable
 ) -> Callable:
@@ -235,22 +288,27 @@ def deform_conv2d_fused_with_vjp(
 
     def bwd(res, g):
         x, k_off, b_off, weight, bias = res
-        off, conv_vjp = jax.vjp(_offset_conv, x, k_off, b_off)
-        dy, dx, mask = split_offsets(off)
+        # Channels-first offset recompute + VJP: the interleaved channel
+        # split becomes leading-axis row slices ([B, 3K, H, W]; dy_k =
+        # channel 2k, dx_k = 2k+1, mask_k = sigmoid(2K + k) — same
+        # mapping as split_offsets), and the offsets feed the Pallas
+        # backward in its native [B, K, H, W] layout.
+        off, conv_vjp = jax.vjp(_offset_conv_cf, x, k_off, b_off)
+        K = off.shape[1] // 3
+        dy = off[:, 0 : 2 * K : 2]
+        dx = off[:, 1 : 2 * K : 2]
+        mask = jax.nn.sigmoid(off[:, 2 * K :])
         dx_s, ddy, ddx, dm, dw = pallas_bwd(
-            x,
-            dy.astype(jnp.float32),
-            dx.astype(jnp.float32),
-            mask.astype(jnp.float32),
-            weight,
-            g,
+            x, dy, dx, mask, weight, g, offsets_cf=True
         )
-        # d(off): interleave (ddy, ddx) back into the [o1|o2] pairs and
-        # push d(mask) through the sigmoid.
-        K = ddy.shape[-1]
-        dcat = jnp.stack([ddy, ddx], axis=-1).reshape(*ddy.shape[:-1], 2 * K)
-        dmask_pre = dm * (mask * (1.0 - mask)).astype(jnp.float32)
-        doff = jnp.concatenate([dcat, dmask_pre], axis=-1).astype(off.dtype)
+        # d(off): interleave (ddy, ddx) back into pairs on the (small)
+        # channel axis and push d(mask) through the sigmoid.
+        B = ddy.shape[0]
+        dcat = jnp.stack([ddy, ddx], axis=2).reshape(
+            B, 2 * K, *ddy.shape[2:]
+        )
+        dmask_pre = dm * mask * (1.0 - mask)
+        doff = jnp.concatenate([dcat, dmask_pre], axis=1).astype(off.dtype)
         dx_c, dk_off, db_off = conv_vjp(doff)
         dbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
         return (

@@ -25,6 +25,13 @@ exactly — gradients correspond tap-for-tap to what the forward sampled.
 Reference behavior spec: grads of homo_warping flow to src_fea only (grid
 built under no-grad, reference models/module.py:294-322); the correlation
 mean and the weighted view sum are reference models/TransMVSNet.py:79-93.
+
+Window-truncation contract: gradients follow the forward's 128-aligned
+x-window truncation (see dcn_bwd.py for the full statement). When
+W > _XW, taps of a chunk's last lanes that fall outside the snapped
+[xmin, xmin+XW) window are dropped consistently with the truncated
+forward; dsrc/dref there deviate from the untruncated gradients at those
+boundary lanes only.
 """
 
 from __future__ import annotations
@@ -41,6 +48,11 @@ from transmvsnet_tpu.ops.pallas.warp_onehot import _INVALID, DR, ROWS, WIN
 # x-window width, matching the forward's (warp_onehot uses min(384, W):
 # plane-sweep px spreads wider than the DCN's learned offsets).
 _XW = 384
+# VMEM budget for the full-image dsrc accumulator (f32 [H, C, W]): the
+# v5e core has ~16 MB VMEM shared with the window scratch + pipeline
+# blocks; 8 MB keeps comfortable headroom (train s1 4.0 MB / s2 6.3 MB
+# qualify, train s3 and the eval shapes stay on the window-RMW path).
+_FULL_ACC_BYTES = 8 * 1024 * 1024
 
 
 def _bwd_kernel(
@@ -50,12 +62,15 @@ def _bwd_kernel(
     vw_ref,  # VMEM [1, 1, ROWS, W] f32
     g_ref,  # VMEM [1, 1, ROWS, W] f32 cotangent of the weighted sim
     src_hbm,  # ANY [B, S, H, C, W] bf16
-    dsrc_in,  # ANY [B, S, H, C, W] f32 (zeros, aliased to dsrc_out)
-    dsrc_out,  # ANY [B, S, H, C, W] f32 (accumulated via window RMW)
-    dref_ref,  # VMEM [1, ROWS, C, W] f32, accumulated over (s, d)
+    dsrc_in,  # ANY [B, S, H, C, W] f32 (zeros, aliased to dsrc_out);
+    #           full_acc: ANY [1] f32 dummy (no aliasing, write-only dsrc)
+    dsrc_out,  # ANY [B, S, H, C, W] f32 (accumulated via window RMW;
+    #           full_acc: written once per (b, s) from the VMEM accumulator)
+    dref_ref,  # VMEM [1, ROWS, C, W] f32, accumulated over (s, d);
+    #           full_acc: per-(b·S+s) partial block, summed over S in XLA
     dvw_ref,  # VMEM [1, 1, ROWS, W] f32, accumulated over d
     bigwin,  # scratch VMEM [WIN, C, W] bf16
-    accwin,  # scratch VMEM [WIN, C, W] f32
+    accwin,  # scratch VMEM [WIN, C, W] f32 (full_acc: [H, C, W] f32)
     xwin,  # scratch VMEM [WIN, C, XW_] bf16 (x-window of bigwin)
     accx,  # scratch VMEM [WIN, C, XW_] f32 (x-window of accwin)
     sem0,
@@ -67,17 +82,39 @@ def _bwd_kernel(
     W_img: int,
     C: int,
     XW_: int,
+    full_acc: bool = False,
 ):
     del dsrc_in  # same buffer as dsrc_out; declared for the alias only
     b_idx = pl.program_id(0)
-    strip = pl.program_id(1)
-    s_idx = pl.program_id(2)
+    if full_acc:
+        # Grid (B, S, strips, D): the f32 dsrc accumulator for source view
+        # s lives in VMEM across ALL (strip, d) iterations and is flushed
+        # to HBM once per (b, s) — no per-(s, d) HBM read-modify-write
+        # traffic at all (the old path's dominant cost at the train
+        # shapes; PERFORMANCE.md "Backward kernel tuning").
+        s_idx = pl.program_id(1)
+        strip = pl.program_id(2)
+    else:
+        strip = pl.program_id(1)
+        s_idx = pl.program_id(2)
     d_idx = pl.program_id(3)
     n_chunks = W // 128
+    n_strips = pl.num_programs(2 if full_acc else 1)
+    n_depths = pl.num_programs(3)
 
-    @pl.when((s_idx == 0) & (d_idx == 0))
-    def _init_dref():
-        dref_ref[...] = jnp.zeros_like(dref_ref)
+    if full_acc:
+        # dref block is per (b, s, strip) here — first visit is d == 0.
+        @pl.when(d_idx == 0)
+        def _init_dref_s():
+            dref_ref[...] = jnp.zeros_like(dref_ref)
+
+        @pl.when((strip == 0) & (d_idx == 0))
+        def _init_acc():
+            accwin[...] = jnp.zeros_like(accwin)
+    else:
+        @pl.when((s_idx == 0) & (d_idx == 0))
+        def _init_dref():
+            dref_ref[...] = jnp.zeros_like(dref_ref)
 
     @pl.when(d_idx == 0)
     def _init_dvw():
@@ -111,12 +148,15 @@ def _bwd_kernel(
         src_hbm.at[b_idx, s_idx, pl.ds(win_start, WIN), :, :], bigwin, sem0
     )
     copy.start()
-    rmw_read = pltpu.make_async_copy(
-        dsrc_out.at[b_idx, s_idx, pl.ds(win_start, WIN), :, :], accwin, sem1
-    )
-    rmw_read.start()
+    if not full_acc:
+        rmw_read = pltpu.make_async_copy(
+            dsrc_out.at[b_idx, s_idx, pl.ds(win_start, WIN), :, :],
+            accwin,
+            sem1,
+        )
+        rmw_read.start()
+        rmw_read.wait()
     copy.wait()
-    rmw_read.wait()
 
     # Windowed hat columns, mirroring the forward's 128-aligned x-window
     # (the first-cut backward built full-width [W, 128] hats — at the
@@ -164,6 +204,9 @@ def _bwd_kernel(
             win_ref, acc_ref = xwin, accx
         else:
             win_ref, acc_ref = bigwin, accwin
+        # full_acc: the accumulator is the whole source image, so scatter
+        # rows are absolute (win_start + window-relative r).
+        row_base = win_start if full_acc else 0
         xminf = xmin.astype(jnp.float32)
 
         for i in range(ROWS):
@@ -210,8 +253,8 @@ def _bwd_kernel(
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [G·C, XW_]
-                acc_ref[pl.ds(r0, group), :, :] = acc_ref[
-                    pl.ds(r0, group), :, :
+                acc_ref[pl.ds(row_base + r0, group), :, :] = acc_ref[
+                    pl.ds(row_base + r0, group), :, :
                 ] + dwin.reshape(group, C, XW_)
             else:
                 for dr in range(DR):
@@ -231,8 +274,8 @@ def _bwd_kernel(
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # [C, XW_]
-                    acc_ref[pl.ds(wr, 1), :, :] = (
-                        acc_ref[pl.ds(wr, 1), :, :] + dwin[None]
+                    acc_ref[pl.ds(row_base + wr, 1), :, :] = (
+                        acc_ref[pl.ds(row_base + wr, 1), :, :] + dwin[None]
                     )
 
             dref_ref[0, i, :, sl] = dref_ref[0, i, :, sl] + samp * ql
@@ -248,11 +291,22 @@ def _bwd_kernel(
             aw.start()
             aw.wait()
 
-    rmw_write = pltpu.make_async_copy(
-        accwin, dsrc_out.at[b_idx, s_idx, pl.ds(win_start, WIN), :, :], sem1
-    )
-    rmw_write.start()
-    rmw_write.wait()
+    if full_acc:
+        @pl.when((strip == n_strips - 1) & (d_idx == n_depths - 1))
+        def _flush():
+            fl = pltpu.make_async_copy(
+                accwin, dsrc_out.at[b_idx, s_idx], sem1
+            )
+            fl.start()
+            fl.wait()
+    else:
+        rmw_write = pltpu.make_async_copy(
+            accwin,
+            dsrc_out.at[b_idx, s_idx, pl.ds(win_start, WIN), :, :],
+            sem1,
+        )
+        rmw_write.start()
+        rmw_write.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -285,57 +339,128 @@ def _warp_wsum_bwd_batched(
 
     src_t = src_feas.transpose(0, 1, 2, 4, 3)  # [B, S, H, C, W]
     ref_t = ref_fea.transpose(0, 1, 3, 2)  # [B, H, C, W]
-    dsrc0 = jnp.zeros((B, S, H, C, W), jnp.float32)
 
+    # Full-image VMEM dsrc accumulator (see _bwd_kernel): only when the
+    # kernel is un-windowed (XW_ == W, so no accx staging exists) and the
+    # [H, C, W] f32 accumulator fits the VMEM budget. At the train recipe
+    # shapes (s1 128x160 C32: 4.0 MB, s2 256x320 C16: 6.3 MB) this removes
+    # the per-(s, d) HBM read-modify-write of the dsrc window entirely —
+    # dsrc becomes one HBM write per (b, s).
+    full_acc = XW_ == W and H * C * W * 4 <= _FULL_ACC_BYTES
     kernel = functools.partial(
-        _bwd_kernel, H=H, W=W, W_img=W_img, C=C, XW_=XW_
+        _bwd_kernel, H=H, W=W, W_img=W_img, C=C, XW_=XW_, full_acc=full_acc
     )
-    dsrc, dref, dvw = pl.pallas_call(
-        kernel,
-        grid=(B, H // ROWS, S, D),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, 3, 4),
-                lambda b, st, s, d: (b, s, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec((1, 1, ROWS, W), lambda b, st, s, d: (b, d, st, 0)),
-            pl.BlockSpec((1, ROWS, C, W), lambda b, st, s, d: (b, st, 0, 0)),
-            pl.BlockSpec((1, 1, ROWS, W), lambda b, st, s, d: (b, s, st, 0)),
-            pl.BlockSpec((1, 1, ROWS, W), lambda b, st, s, d: (b, d, st, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, ROWS, C, W), lambda b, st, s, d: (b, st, 0, 0)),
-            pl.BlockSpec((1, 1, ROWS, W), lambda b, st, s, d: (b, s, st, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, S, H, C, W), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, C, W), jnp.float32),
-            jax.ShapeDtypeStruct((B, S, H, W), jnp.float32),
-        ),
+    common = dict(
         scratch_shapes=[
             pltpu.VMEM((WIN, C, W), jnp.bfloat16),
-            pltpu.VMEM((WIN, C, W), jnp.float32),
+            pltpu.VMEM((H if full_acc else WIN, C, W), jnp.float32),
             pltpu.VMEM((WIN, C, XW_), jnp.bfloat16),
-            pltpu.VMEM((WIN, C, XW_), jnp.float32),
+            # accx is unused under full_acc (windowed is False) — shrink it.
+            pltpu.VMEM((1 if full_acc else WIN, C, XW_), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
-        input_output_aliases={6: 0},
         interpret=interpret,
-    )(
+    )
+    args = (
         rel.astype(jnp.float32),
         depth_values.astype(jnp.float32),
         ref_t,
         view_weights.astype(jnp.float32),
         g.astype(jnp.float32),
         src_t,
-        dsrc0,
     )
+    if full_acc:
+        dsrc, drefs, dvw = pl.pallas_call(
+            kernel,
+            grid=(B, S, H // ROWS, D),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, 3, 4),
+                    lambda b, s, st, d: (b, s, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, ROWS, W), lambda b, s, st, d: (b, d, st, 0)
+                ),
+                pl.BlockSpec(
+                    (1, ROWS, C, W), lambda b, s, st, d: (b, st, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, ROWS, W), lambda b, s, st, d: (b, s, st, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, ROWS, W), lambda b, s, st, d: (b, d, st, 0)
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                # Per-(b, s) dref partials (flat b·S+s leading axis keeps
+                # the block rank identical to the RMW path; a (b, st)
+                # block would be revisited non-consecutively under this
+                # grid order, which Pallas outputs don't support).
+                pl.BlockSpec(
+                    (1, ROWS, C, W),
+                    lambda b, s, st, d, S=S: (b * S + s, st, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, ROWS, W), lambda b, s, st, d: (b, s, st, 0)
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, S, H, C, W), jnp.float32),
+                jax.ShapeDtypeStruct((B * S, H, C, W), jnp.float32),
+                jax.ShapeDtypeStruct((B, S, H, W), jnp.float32),
+            ),
+            **common,
+        )(*args, jnp.zeros((1,), jnp.float32))
+        dref = jnp.sum(drefs.reshape(B, S, H, C, W), axis=1)
+    else:
+        dsrc0 = jnp.zeros((B, S, H, C, W), jnp.float32)
+        dsrc, dref, dvw = pl.pallas_call(
+            kernel,
+            grid=(B, H // ROWS, S, D),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, 3, 4),
+                    lambda b, st, s, d: (b, s, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, ROWS, W), lambda b, st, s, d: (b, d, st, 0)
+                ),
+                pl.BlockSpec(
+                    (1, ROWS, C, W), lambda b, st, s, d: (b, st, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, ROWS, W), lambda b, st, s, d: (b, s, st, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, ROWS, W), lambda b, st, s, d: (b, d, st, 0)
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (1, ROWS, C, W), lambda b, st, s, d: (b, st, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, ROWS, W), lambda b, st, s, d: (b, s, st, 0)
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, S, H, C, W), jnp.float32),
+                jax.ShapeDtypeStruct((B, H, C, W), jnp.float32),
+                jax.ShapeDtypeStruct((B, S, H, W), jnp.float32),
+            ),
+            input_output_aliases={6: 0},
+            **common,
+        )(*args, dsrc0)
     dsrc = dsrc.transpose(0, 1, 2, 4, 3)[:, :, :, :W_img]  # [B, S, H, W, C]
     dref = dref.transpose(0, 1, 3, 2)[:, :, :W_img]  # [B, H, W, C]
     return dsrc, dref, dvw[:, :, :, :W_img]

@@ -52,6 +52,13 @@ def parse_args(argv=None):
         help="disable the Pallas TPU kernels (XLA fallback)",
     )
     p.add_argument(
+        "--dtype",
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="activation compute dtype (bfloat16 = the TPU-native "
+        "one-hot kernel path, the bench.py configuration)",
+    )
+    p.add_argument(
         "--inverse_depth",
         action="store_true",
         help="TnT: sample hypotheses uniformly in inverse depth "
@@ -111,6 +118,7 @@ def main(argv=None):
             ndepths=ndepths,
             depth_interval_ratios=ratios,
             use_pallas=not args.no_pallas,
+            compute_dtype=args.dtype,
         )
     )
 
