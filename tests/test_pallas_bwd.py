@@ -355,3 +355,114 @@ class TestFusedDCNVjp:
                 assert np.median(np.abs(ga - gb)) < 1e-2 * scale
             else:
                 _assert_close(gi, gr, name, atol_frac=4e-2, med_frac=1e-2)
+
+    def test_fused_io_cf_grads_match_nhwc(self):
+        """The channels-first I/O fused path (io_cf: x/out/g in
+        [B, H, C, W]) is the same kernels behind transposed wrappers —
+        every gradient must match the NHWC path up to reduction order."""
+        from transmvsnet_tpu.ops.pallas.dcn_onehot import (
+            deform_conv2d_onehot_fused,
+        )
+        from transmvsnet_tpu.ops.pallas.vjp import (
+            deform_conv2d_fused_with_vjp,
+        )
+
+        rng = np.random.RandomState(13)
+        B, H, W, C, C_out = 1, 16, 128, 8, 8
+        x = smooth_offsets(B, H, W, C, amplitude=1.0, seed=14)
+        k_off = jnp.round(
+            jnp.asarray(rng.randn(3, 3, C, 27).astype(np.float32)) * 8
+        ) / 128
+        b_off = jnp.round(
+            jnp.asarray(rng.randn(27).astype(np.float32)) * 8
+        ) / 16
+        w = jnp.asarray(rng.randn(9, C, C_out).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(C_out).astype(np.float32) * 0.1)
+
+        def make(io_cf):
+            return deform_conv2d_fused_with_vjp(
+                functools.partial(
+                    deform_conv2d_onehot_fused, interpret=True, io_cf=io_cf
+                ),
+                pallas_bwd=functools.partial(
+                    deform_conv2d_bwd, interpret=True, io_cf=io_cf
+                ),
+                io_cf=io_cf,
+            )
+
+        out_n = make(False)(x, k_off, b_off, w, b)
+        out_c = make(True)(x.transpose(0, 1, 3, 2), k_off, b_off, w, b)
+        np.testing.assert_allclose(
+            np.asarray(out_c.transpose(0, 1, 3, 2), np.float32),
+            np.asarray(out_n, np.float32),
+            rtol=0, atol=0,
+        )
+
+        g_n = jax.grad(
+            lambda *a: jnp.sum(make(False)(*a).astype(jnp.float32) ** 2),
+            argnums=tuple(range(5)),
+        )(x, k_off, b_off, w, b)
+        g_c = jax.grad(
+            lambda *a: jnp.sum(make(True)(*a).astype(jnp.float32) ** 2),
+            argnums=tuple(range(5)),
+        )(x.transpose(0, 1, 3, 2), k_off, b_off, w, b)
+        names = ["dx", "dk_off", "db_off", "dw", "db"]
+        for i, (gn, gc, name) in enumerate(zip(g_n, g_c, names)):
+            gc = gc.transpose(0, 1, 3, 2) if name == "dx" else gc
+            ga, gb = np.asarray(gc, np.float32), np.asarray(gn, np.float32)
+            scale = max(np.abs(gb).max(), 1e-6)
+            np.testing.assert_allclose(
+                ga / scale, gb / scale, rtol=0, atol=1e-5, err_msg=name
+            )
+
+
+class TestARFHeadCFTrunk:
+    def test_cf_trunk_matches_nhwc_trunk(self):
+        """ARFHead with the channels-first trunk == the per-layer NHWC
+        interface, forward and parameter gradients (same params tree)."""
+        from transmvsnet_tpu.models.feature_net import ARFHead
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(
+            rng.randn(1, 16, 128, 8).astype(np.float32) * 0.5
+        ).astype(jnp.bfloat16)
+
+        def build(cf_trunk):
+            return ARFHead(
+                8, 8, use_pallas=True, pallas_interpret=True,
+                cf_trunk=cf_trunk,
+            )
+
+        head_cf, head_nhwc = build(True), build(False)
+        variables = head_nhwc.init(jax.random.PRNGKey(0), x, False)
+        out_n = head_nhwc.apply(variables, x, False)
+        out_c = head_cf.apply(variables, x, False)
+        np.testing.assert_allclose(
+            np.asarray(out_c, np.float32),
+            np.asarray(out_n, np.float32),
+            rtol=0, atol=1e-6,
+        )
+
+        def loss(head):
+            def f(p):
+                return jnp.sum(
+                    head.apply(
+                        {**variables, "params": p}, x, False
+                    ).astype(jnp.float32)
+                    ** 2
+                )
+
+            return f
+
+        g_n = jax.grad(loss(head_nhwc))(variables["params"])
+        g_c = jax.grad(loss(head_cf))(variables["params"])
+        flat_n = jax.tree_util.tree_leaves_with_path(g_n)
+        flat_c = jax.tree_util.tree_leaves_with_path(g_c)
+        for (pn, ln), (pc, lc) in zip(flat_n, flat_c):
+            assert pn == pc
+            a, b = np.asarray(lc, np.float32), np.asarray(ln, np.float32)
+            scale = max(np.abs(b).max(), 1e-6)
+            np.testing.assert_allclose(
+                a / scale, b / scale, rtol=0, atol=1e-4,
+                err_msg=jax.tree_util.keystr(pn),
+            )

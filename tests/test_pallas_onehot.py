@@ -174,3 +174,28 @@ class TestDCNOnehotFused:
         )
         assert close.mean() > 0.995, close.mean()
         assert np.median(np.abs(fused - composed)) < 1e-2 * scale
+
+    @pytest.mark.parametrize("W", [128, 96])  # 96 exercises the W-pad path
+    def test_fused_io_cf_matches_nhwc(self, W):
+        """The channels-first I/O path is the same kernel behind transposed
+        wrappers — outputs must match the NHWC path exactly."""
+        from transmvsnet_tpu.ops.pallas.dcn_onehot import (
+            deform_conv2d_onehot_fused,
+        )
+
+        x, k_off, b_off, w, b = self._params(H=16, W=W, C=16, C_out=8)
+        xb = x.astype(jnp.bfloat16)
+        out_nhwc = np.asarray(
+            deform_conv2d_onehot_fused(xb, k_off, b_off, w, b, interpret=True),
+            np.float32,
+        )
+        out_cf = np.asarray(
+            deform_conv2d_onehot_fused(
+                xb.transpose(0, 1, 3, 2), k_off, b_off, w, b,
+                interpret=True, io_cf=True,
+            ),
+            np.float32,
+        )
+        np.testing.assert_allclose(
+            out_cf.transpose(0, 1, 3, 2), out_nhwc, rtol=0, atol=0
+        )

@@ -53,13 +53,15 @@ def setup():
     )
     optimizer = make_optimizer(warmup_multistep(1e-3, [1000], 0.5, warmup_iters=10))
     state = create_train_state(model, variables, optimizer)
-    return model, optimizer, state, batch
+    # One shared jitted step: re-jitting per test recompiles the full train
+    # graph (~85 s on the 2-core CI host — measured r5 suite re-tier).
+    step = jax.jit(make_train_step(model, optimizer))
+    return model, optimizer, state, batch, step
 
 
 class TestTrainStep:
     def test_loss_decreases(self, setup):
-        model, optimizer, state, batch = setup
-        step = jax.jit(make_train_step(model, optimizer))
+        model, optimizer, state, batch, step = setup
         state, first = step(state, batch)
         losses = [float(first["loss"])]
         for _ in range(8):
@@ -69,8 +71,7 @@ class TestTrainStep:
         assert losses[-1] < losses[0] * 0.9, losses
 
     def test_nan_guard_preserves_state(self, setup):
-        model, optimizer, state, batch = setup
-        step = jax.jit(make_train_step(model, optimizer))
+        model, optimizer, state, batch, step = setup
         state, _ = step(state, batch)  # one good step
         poisoned = dict(batch)
         poisoned["imgs"] = batch["imgs"].at[0, 0, 0, 0, 0].set(jnp.nan)
@@ -82,7 +83,7 @@ class TestTrainStep:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_eval_step_scalars(self, setup):
-        model, optimizer, state, batch = setup
+        model, optimizer, state, batch, _ = setup
         eval_step = jax.jit(make_eval_step(model))
         scalars = eval_step(state, batch)
         for key in ("loss", "abs_depth_error", "thres2mm_error"):

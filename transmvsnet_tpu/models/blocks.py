@@ -61,6 +61,7 @@ class BatchNorm(nn.Module):
     features: int
     momentum: float = 0.1
     epsilon: float = 1e-5
+    axis: int = -1  # channel axis (e.g. 2 for the [B, H, C, W] cf trunk)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -73,8 +74,9 @@ class BatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.features,))
         )
 
+        ax = self.axis % x.ndim
+        reduce_axes = tuple(i for i in range(x.ndim) if i != ax)
         if train:
-            reduce_axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=reduce_axes)
             mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
@@ -92,8 +94,12 @@ class BatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        inv = lax.rsqrt(var + self.epsilon) * scale
-        y = (x.astype(jnp.float32) - mean) * inv + bias
+        bshape = [1] * x.ndim
+        bshape[ax] = self.features
+        inv = (lax.rsqrt(var + self.epsilon) * scale).reshape(bshape)
+        y = (x.astype(jnp.float32) - mean.reshape(bshape)) * inv + bias.reshape(
+            bshape
+        )
         return y.astype(x.dtype)
 
 

@@ -27,6 +27,26 @@ from transmvsnet_tpu.ops.dcn import deform_conv2d
 from transmvsnet_tpu.ops.sampling import upsample_nearest_2x
 
 
+def _pallas_mode(use_pallas: bool, pallas_interpret: bool):
+    """Resolve the kernel dispatch mode: None (XLA), False (compiled
+    Pallas on TPU), or True (interpret-mode Pallas on CPU)."""
+    if use_pallas:
+        if jax.default_backend() == "tpu":
+            return False
+        if pallas_interpret:
+            return True
+    return None
+
+
+def _fused_active(use_pallas: bool, pallas_interpret: bool, dtype) -> bool:
+    """Whether the conv-fused bf16 DCN kernel path will be taken (the
+    predicate DCN uses for its default 3/1/1 geometry). ARFHead mirrors
+    this to decide when the trunk can stay channels-first."""
+    return _pallas_mode(use_pallas, pallas_interpret) is not None and (
+        dtype == jnp.bfloat16
+    )
+
+
 class _RawConvParams(nn.Module):
     """Declares a ConvND-compatible (kernel, bias) parameter pair without
     running the conv — the conv-fused DCN kernel consumes the raw arrays.
@@ -65,19 +85,15 @@ class DCN(nn.Module):
     deformable_groups: int = 1
     use_pallas: bool = False
     pallas_interpret: bool = False
+    io_cf: bool = False  # x/out in [B, H, C, W]; requires the fused path
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         assert self.deformable_groups == 1
         K = self.kernel_size * self.kernel_size
-        in_ch = x.shape[-1]
+        in_ch = x.shape[2] if self.io_cf else x.shape[-1]
 
-        interp = None
-        if self.use_pallas:
-            if jax.default_backend() == "tpu":
-                interp = False
-            elif self.pallas_interpret:
-                interp = True
+        interp = _pallas_mode(self.use_pallas, self.pallas_interpret)
 
         fused = (
             interp is not None
@@ -85,6 +101,9 @@ class DCN(nn.Module):
             and self.kernel_size == 3
             and self.stride == 1
             and self.padding == 1
+        )
+        assert fused or not self.io_cf, (
+            "io_cf requires the conv-fused bf16 Pallas path"
         )
         if fused:
             import functools
@@ -109,10 +128,15 @@ class DCN(nn.Module):
                 "bias", torch_bias_init(in_ch * K), (self.features,)
             )
             fn = deform_conv2d_fused_with_vjp(
-                functools.partial(deform_conv2d_onehot_fused, interpret=interp),
-                pallas_bwd=functools.partial(
-                    deform_conv2d_bwd, interpret=interp
+                functools.partial(
+                    deform_conv2d_onehot_fused,
+                    interpret=interp,
+                    io_cf=self.io_cf,
                 ),
+                pallas_bwd=functools.partial(
+                    deform_conv2d_bwd, interpret=interp, io_cf=self.io_cf
+                ),
+                io_cf=self.io_cf,
             )
             return fn(x, k_off, b_off, weight, bias)
 
@@ -196,13 +220,22 @@ class DCN(nn.Module):
 
 
 class ARFHead(nn.Module):
-    """Output head: lead conv + [DCN, BN, ReLU] x2 + final DCN."""
+    """Output head: lead conv + [DCN, BN, ReLU] x2 + final DCN.
+
+    On the conv-fused bf16 Pallas path the trunk runs channels-first
+    ([B, H, C, W] — the DCN kernels' native layout) across all three DCN
+    layers: one lane-axis transpose in, one out, instead of one per kernel
+    boundary. BatchNorm/ReLU are layout-agnostic; the parameter tree is
+    identical, so checkpoints are unaffected (``cf_trunk=False`` restores
+    the per-layer NHWC interface — kept for A/B and fallback).
+    """
 
     mid_features: int
     out_features: int
     lead_kernel: int = 3  # 1 for the stage-1 head (reference module.py:363)
     use_pallas: bool = False
     pallas_interpret: bool = False
+    cf_trunk: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -213,23 +246,39 @@ class ARFHead(nn.Module):
             padding=pad,
             name="lead",
         )(x, train)
-        x = DCN(self.mid_features, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="dcn0")(x)
-        x = BatchNorm(self.mid_features, name="bn0")(
-            x, train
+        cf = self.cf_trunk and _fused_active(
+            self.use_pallas, self.pallas_interpret, x.dtype
         )
+        if cf:
+            x = x.transpose(0, 1, 3, 2)  # [B, H, C, W]
+        bn_axis = 2 if cf else -1
+
+        def dcn(feat, features, name):
+            return DCN(
+                features,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.pallas_interpret,
+                io_cf=cf,
+                name=name,
+            )(feat)
+
+        x = dcn(x, self.mid_features, "dcn0")
+        x = BatchNorm(self.mid_features, axis=bn_axis, name="bn0")(x, train)
         x = nn.relu(x)
-        x = DCN(self.mid_features, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="dcn1")(x)
-        x = BatchNorm(self.mid_features, name="bn1")(
-            x, train
-        )
+        x = dcn(x, self.mid_features, "dcn1")
+        x = BatchNorm(self.mid_features, axis=bn_axis, name="bn1")(x, train)
         x = nn.relu(x)
-        return DCN(self.out_features, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="dcn2")(x)
+        x = dcn(x, self.out_features, "dcn2")
+        if cf:
+            x = x.transpose(0, 1, 3, 2)  # back to [B, H, W, C]
+        return x
 
 
 class FeatureNet(nn.Module):
     base_channels: int = 8
     use_pallas: bool = False
     pallas_interpret: bool = False
+    cf_trunk: bool = True  # channels-first ARF trunks on the fused path
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> dict[str, jax.Array]:
@@ -258,20 +307,25 @@ class FeatureNet(nn.Module):
         intra = conv2
         out["stage1"] = ARFHead(
             bc * 4, bc * 4, lead_kernel=1,
-            use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="out1"
+            use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret,
+            cf_trunk=self.cf_trunk, name="out1"
         )(intra, train)
 
         intra = upsample_nearest_2x(intra) + ConvND(
             bc * 4, 1, name="inner1"
         )(conv1)
         out["stage2"] = ARFHead(
-            bc * 4, bc * 2, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="out2"
+            bc * 4, bc * 2, use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret, cf_trunk=self.cf_trunk,
+            name="out2"
         )(intra, train)
 
         intra = upsample_nearest_2x(intra) + ConvND(
             bc * 4, 1, name="inner2"
         )(conv0)
         out["stage3"] = ARFHead(
-            bc * 4, bc, use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret, name="out3"
+            bc * 4, bc, use_pallas=self.use_pallas,
+            pallas_interpret=self.pallas_interpret, cf_trunk=self.cf_trunk,
+            name="out3"
         )(intra, train)
         return out

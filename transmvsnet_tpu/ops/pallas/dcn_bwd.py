@@ -297,36 +297,40 @@ def _bwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "offsets_cf")
+    jax.jit, static_argnames=("interpret", "offsets_cf", "io_cf")
 )
 def _dcn_bwd_batched(
-    x: jax.Array,  # [B, H, W, C] bf16
+    x: jax.Array,  # [B, H, W, C] bf16 (io_cf: [B, H, C, W])
     dy: jax.Array,  # [B, H, W, K] f32 (offsets_cf: [B, K, H, W])
     dx: jax.Array,
     mask: jax.Array,
     weight: jax.Array,  # [K, C, C_out]
-    g: jax.Array,  # [B, H, W, C_out] f32 cotangent
+    g: jax.Array,  # [B, H, W, C_out] f32 cotangent (io_cf: [B, H, C_out, W])
     interpret: bool = False,
     offsets_cf: bool = False,
+    io_cf: bool = False,
 ):
-    B, H, W_img, C = x.shape
+    if io_cf:
+        assert offsets_cf
+        B, H, C, W_img = x.shape
+    else:
+        B, H, W_img, C = x.shape
     C_out = weight.shape[-1]
     assert H % ROWS == 0 and H >= WIN, (H,)
     W = -(-W_img // 128) * 128
     XW_ = min(XW, W)
     if W != W_img:
         pad = ((0, 0), (0, 0), (0, W - W_img), (0, 0))
-        x = jnp.pad(x, pad)
-        g = jnp.pad(g, pad)
-        pad_off = (
-            ((0, 0), (0, 0), (0, 0), (0, W - W_img)) if offsets_cf else pad
-        )
+        pad_cf = ((0, 0), (0, 0), (0, 0), (0, W - W_img))
+        x = jnp.pad(x, pad_cf if io_cf else pad)
+        g = jnp.pad(g, pad_cf if io_cf else pad)
+        pad_off = pad_cf if offsets_cf else pad
         dy = jnp.pad(dy, pad_off)
         dx = jnp.pad(dx, pad_off)
         mask = jnp.pad(mask, pad_off)
 
-    x_t = x.transpose(0, 1, 3, 2)  # [B, H, C, W]
-    g_t = g.transpose(0, 1, 3, 2)  # [B, H, C_out, W]
+    x_t = x if io_cf else x.transpose(0, 1, 3, 2)  # [B, H, C, W]
+    g_t = g if io_cf else g.transpose(0, 1, 3, 2)  # [B, H, C_out, W]
     if offsets_cf:
         # Offsets already in the kernel's native [B, K, H, W] layout
         # (the channels-first offset-conv path, vjp._offset_conv_cf) —
@@ -388,7 +392,10 @@ def _dcn_bwd_batched(
         x_t,
         dxin0,
     )
-    dxin = dxin.transpose(0, 1, 3, 2)[:, :, :W_img]  # [B, H, W, C]
+    if io_cf:
+        dxin = dxin[:, :, :, :W_img]  # [B, H, C, W_img]
+    else:
+        dxin = dxin.transpose(0, 1, 3, 2)[:, :, :W_img]  # [B, H, W, C]
     if offsets_cf:
         ddy = ddy[:, :, :, :W_img]  # [B, K, H, W]
         ddx = ddx[:, :, :, :W_img]
@@ -401,24 +408,28 @@ def _dcn_bwd_batched(
 
 
 def deform_conv2d_bwd(
-    x: jax.Array,  # [B, H, W, C]
+    x: jax.Array,  # [B, H, W, C] (io_cf: [B, H, C, W])
     offset_y: jax.Array,  # [B, H, W, K] (offsets_cf: [B, K, H, W])
     offset_x: jax.Array,
     mask: jax.Array,
     weight: jax.Array,  # [K, C, C_out]
-    g: jax.Array,  # [B, H, W, C_out] cotangent
+    g: jax.Array,  # [B, H, W, C_out] cotangent (io_cf: [B, H, C_out, W])
     stride: int = 1,
     padding: int = 1,
     dilation: int = 1,
     interpret: bool = False,
     offsets_cf: bool = False,
+    io_cf: bool = False,
 ):
     """Gradients (dx, d_offset_y, d_offset_x, d_mask, d_weight), all f32.
 
     d_bias is a plain sum of the cotangent — callers compute it in XLA.
     With ``offsets_cf`` the offset/mask inputs AND their gradients use the
     kernel's native channels-first [B, K, H, W] layout (the fused-DCN
-    backward path; skips four lane-axis transposes per layer).
+    backward path; skips four lane-axis transposes per layer). With
+    ``io_cf`` (requires ``offsets_cf``) x, g, and dx additionally use the
+    kernel's native [B, H, C, W] layout — the channels-first ARF-head
+    trunk path, where no lane-axis relayout remains at all.
     """
     assert stride == 1 and padding == 1 and dilation == 1
     return _dcn_bwd_batched(
@@ -430,4 +441,5 @@ def deform_conv2d_bwd(
         g.astype(jnp.float32),
         interpret=interpret,
         offsets_cf=offsets_cf,
+        io_cf=io_cf,
     )

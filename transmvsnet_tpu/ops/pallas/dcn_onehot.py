@@ -532,26 +532,37 @@ def _kernel_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "xw", "pipeline_hats")
+    jax.jit, static_argnames=("interpret", "xw", "pipeline_hats", "io_cf")
 )
 def _dcn_onehot_fused_batched(
-    x: jax.Array,  # [B, H, W, C] bf16
+    x: jax.Array,  # [B, H, W, C] bf16 (io_cf: [B, H, C, W])
     k_off: jax.Array,  # [3, 3, C, 3*K] offset-conv kernel (HWIO)
     b_off: jax.Array,  # [3*K] offset-conv bias
     weight: jax.Array,  # [K, C, C_out]
     interpret: bool = False,
     xw: int = XW,
     pipeline_hats: bool = False,
+    io_cf: bool = False,
 ) -> jax.Array:
-    B, H, W_img, C = x.shape
+    if io_cf:
+        B, H, C, W_img = x.shape
+    else:
+        B, H, W_img, C = x.shape
     C_out = weight.shape[-1]
     assert H % ROWS == 0 and H >= WIN, (H,)
     W = -(-W_img // 128) * 128
     XW_ = min(xw, W)
     if W != W_img:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, W - W_img), (0, 0)))
+        pad = (
+            ((0, 0), (0, 0), (0, 0), (0, W - W_img))
+            if io_cf
+            else ((0, 0), (0, 0), (0, W - W_img), (0, 0))
+        )
+        x = jnp.pad(x, pad)
 
-    x_t = x.transpose(0, 1, 3, 2)  # [B, H, C, W]
+    # The kernel's native feature layout is [B, H, C, W] (x on lanes);
+    # io_cf callers hand it over directly and skip both relayouts.
+    x_t = x if io_cf else x.transpose(0, 1, 3, 2)  # [B, H, C, W]
     w_flat = weight.transpose(2, 0, 1).reshape(C_out, K * C)
     # Tap-major columns matching phase A's im2col build order (dy outer,
     # dx inner), channels contiguous per tap.
@@ -591,11 +602,13 @@ def _dcn_onehot_fused_batched(
         w_flat.astype(jnp.bfloat16),
         x_t,
     )
+    if io_cf:
+        return out[:, :, :, :W_img]  # [B, H, C_out, W_img]
     return out.transpose(0, 1, 3, 2)[:, :, :W_img, :]  # [B, H, W_img, C_out]
 
 
 def deform_conv2d_onehot_fused(
-    x: jax.Array,  # [B, H, W, C]
+    x: jax.Array,  # [B, H, W, C] (io_cf: [B, H, C, W])
     k_off: jax.Array,  # [3, 3, C, 3*K] offset-conv kernel
     b_off: jax.Array,  # [3*K] offset-conv bias
     weight: jax.Array,  # [K, C, C_out]
@@ -603,12 +616,18 @@ def deform_conv2d_onehot_fused(
     interpret: bool = False,
     xw: int = XW,
     pipeline_hats: bool = False,
+    io_cf: bool = False,
 ) -> jax.Array:
     """DCNv2 with the offset/mask conv computed inside the kernel.
 
     Equals ``deform_conv2d_onehot(x, *split(conv(x, k_off) + b_off), ...)``
     with the interleaved torch channel layout (reference
     models/dcn.py:62-80) — but the offsets never round-trip through HBM.
+
+    With ``io_cf`` the input and output use the kernel's native
+    channels-first [B, H, C, W] layout — the ARF-head trunk carries this
+    layout across its stacked DCN layers so the per-layer lane-axis
+    relayouts disappear (PERFORMANCE.md round 5, FeatureNet composite).
     """
     out = _dcn_onehot_fused_batched(
         x.astype(jnp.bfloat16),
@@ -618,9 +637,11 @@ def deform_conv2d_onehot_fused(
         interpret=interpret,
         xw=xw,
         pipeline_hats=pipeline_hats,
+        io_cf=io_cf,
     )
     if bias is not None:
-        out = out + bias.astype(out.dtype)
+        b = bias.astype(out.dtype)
+        out = out + (b[:, None] if io_cf else b)
     return out.astype(x.dtype)
 
 

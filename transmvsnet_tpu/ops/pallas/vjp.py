@@ -211,7 +211,7 @@ def split_offsets(off):
     return cat[..., 0::2], cat[..., 1::2], jax.nn.sigmoid(m)
 
 
-def _offset_conv_cf(x, k_off, b_off):
+def _offset_conv_cf(x, k_off, b_off, x_cf: bool = False):
     """The offset/mask conv as ONE channels-first matmul, off [B, 3K, H, W].
 
     Channel c equals NHWC channel c of ``_offset_conv`` — same math — but
@@ -225,9 +225,13 @@ def _offset_conv_cf(x, k_off, b_off):
     inside the Pallas kernel; this path exists for the backward recompute
     only — see deform_conv2d_fused_with_vjp).
     """
-    B, H, W, C = x.shape
+    if x_cf:
+        B, H, C, W = x.shape
+        xt = x.transpose(2, 0, 1, 3).astype(jnp.bfloat16)  # [C, B, H, W]
+    else:
+        B, H, W, C = x.shape
+        xt = x.transpose(3, 0, 1, 2).astype(jnp.bfloat16)  # [C, B, H, W]
     KK = k_off.shape[-1]  # 3K
-    xt = x.transpose(3, 0, 1, 2).astype(jnp.bfloat16)  # [C, B, H, W]
     xp = jnp.pad(xt, ((0, 0), (0, 0), (1, 1), (1, 1)))
     if C <= 8:
         # Packed single contraction (measured best at C=8: the 9C=72-row
@@ -265,7 +269,7 @@ def _offset_conv_cf(x, k_off, b_off):
 
 
 def deform_conv2d_fused_with_vjp(
-    pallas_fwd: Callable, pallas_bwd: Callable
+    pallas_fwd: Callable, pallas_bwd: Callable, io_cf: bool = False
 ) -> Callable:
     """Differentiable wrapper for the conv-fused DCNv2 kernel.
 
@@ -276,6 +280,10 @@ def deform_conv2d_fused_with_vjp(
     offset-conv parameter grads), routes the sampling gradients through the
     native Pallas backward (``pallas_bwd`` = dcn_bwd.deform_conv2d_bwd),
     and sums the two x-gradient paths.
+
+    With ``io_cf`` the primal x / output (and thus g, dx) use the kernel's
+    native channels-first [B, H, C, W] layout; ``pallas_fwd``/``pallas_bwd``
+    must be bound with the matching ``io_cf=True``.
     """
 
     @jax.custom_vjp
@@ -293,7 +301,10 @@ def deform_conv2d_fused_with_vjp(
         # channel 2k, dx_k = 2k+1, mask_k = sigmoid(2K + k) — same
         # mapping as split_offsets), and the offsets feed the Pallas
         # backward in its native [B, K, H, W] layout.
-        off, conv_vjp = jax.vjp(_offset_conv_cf, x, k_off, b_off)
+        off, conv_vjp = jax.vjp(
+            lambda x_, k_, b_: _offset_conv_cf(x_, k_, b_, x_cf=io_cf),
+            x, k_off, b_off,
+        )
         K = off.shape[1] // 3
         dy = off[:, 0 : 2 * K : 2]
         dx = off[:, 1 : 2 * K : 2]
@@ -310,7 +321,9 @@ def deform_conv2d_fused_with_vjp(
         dmask_pre = dm * mask * (1.0 - mask)
         doff = jnp.concatenate([dcat, dmask_pre], axis=1).astype(off.dtype)
         dx_c, dk_off, db_off = conv_vjp(doff)
-        dbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+        dbias = jnp.sum(
+            g.astype(jnp.float32), axis=(0, 1, 3) if io_cf else (0, 1, 2)
+        )
         return (
             (dx_s + dx_c.astype(jnp.float32)).astype(x.dtype),
             dk_off.astype(k_off.dtype),
